@@ -1,0 +1,69 @@
+"""Structured Streaming driver: tail a change-event directory, apply each
+micro-batch via foreachBatch, resume from checkpoint.
+
+Exactly-once layering:
+  * Spark's checkpoint gives deterministic micro-batch replay (the same
+    epoch re-delivers the same files after a crash);
+  * apply_batch tags every commit `stream:{name}:{epoch}` — a replayed
+    epoch whose tag is already committed is a no-op at the table layer.
+  Together: crash anywhere, restart with the same checkpoint dir, and the
+  final table equals the single-clean-run table (tested in
+  tests/test_checkpoint_resume.py).
+
+The reference's closest analog is its idempotent SaveMode.Overwrite
+re-runs (/root/reference/footprint-res/resolve-footprints.scala:207); the
+engine upgrades that to per-micro-batch transactional commits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..icebox.table import IceboxTable
+from .apply import apply_batch
+
+
+def run_stream(
+    spark: SparkSession,
+    events_path: str,
+    events_schema: StructType,
+    table_root: str,
+    checkpoint_dir: str,
+    query_name: str = "cdc",
+    n_salts: int = 16,
+    max_files_per_trigger: int | None = None,
+    await_all: bool = True,
+):
+    """Tail `events_path` (parquet file source) into the icebox table.
+
+    Returns the StreamingQuery (stopped already if await_all=True).
+    The table must exist; reload it per epoch so a restarted stream sees
+    the committed snapshot chain.
+    """
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        table = IceboxTable.load(spark, table_root)
+        apply_batch(
+            table,
+            batch_df,
+            batch_id=epoch_id,
+            n_salts=n_salts,
+            tag_prefix=f"stream:{query_name}",
+        )
+
+    reader = spark.readStream.schema(events_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_all:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,128 @@
+"""Deterministic synthetic data: base table + change-event log (binlog tail).
+
+Everything is derived column-wise from the event's ordinal id with integer
+hash mixing — no RNG state, no wall clock — so generation is:
+  * reproducible (same args → bit-identical data),
+  * order/partitioning independent (row i is a pure function of i),
+  * distributed (spark.range scales to 10^10 ids with zero driver data).
+
+Schemas follow BASELINE.json input_hint / FIXTURES.md:
+  base:   doc_id:string, tokens:array<int32>, n_tok:int32, source:string
+  events: lsn:int64, batch_id:int32, op:string, doc_id:string,
+          tokens:array<int32>, n_tok:int32, source:string
+
+The reference analog of the base table is the keyed buildings table
+(hash-keyed rows, /root/reference/grid-and-attrs/footprint.js:121-124);
+the event log replaces its stage-by-stage full-recompute releases
+(/root/reference/athena-schema/add-buildings-partitions.js:4-10) with an
+LSN-ordered change tail.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+VOCAB = 50257
+SOURCES = ["web", "books", "code", "wiki"]
+
+# deterministic 64-bit mixer as a Column expression: built-in xxhash64 —
+# JVM-side, whole-stage-codegen friendly, ANSI-safe (no overflowing
+# arithmetic; Spark 4 defaults to ANSI mode).
+def _mix(col, salt: int):
+    return F.xxhash64(col, F.lit(salt))
+
+
+def _u01(col, salt: int):
+    """Uniform [0,1) derived from the mixed id."""
+    return (F.pmod(_mix(col, salt), F.lit(1 << 30)).cast("double")) / F.lit(float(1 << 30))
+
+
+def _tokens_expr(seed_col, len_col):
+    """tokens[j] = mix(seed, j) % VOCAB as array<int> — built-in HOFs, no UDF."""
+    seq = F.sequence(F.lit(0), len_col - F.lit(1))
+    return F.transform(
+        seq,
+        lambda j: F.pmod(F.xxhash64(seed_col, j, F.lit(7)), F.lit(VOCAB)).cast("int"),
+    )
+
+
+def gen_base_table(spark: SparkSession, n_docs: int, min_len: int = 8, max_len: int = 64,
+                   partitions: int | None = None) -> DataFrame:
+    """Base table of pre-tokenized sequences; row i is pure f(i)."""
+    df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    len_col = (F.pmod(_mix(F.col("id"), 11), F.lit(max_len - min_len + 1)) + F.lit(min_len)).cast("int")
+    return df.select(
+        F.format_string("doc_%08d", F.col("id")).alias("doc_id"),
+        _tokens_expr(F.col("id"), len_col).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens").cast("int")).withColumn(
+        "source", F.element_at(F.array(*[F.lit(s) for s in SOURCES]),
+                               (F.pmod(_mix(F.xxhash64("doc_id"), 13), F.lit(len(SOURCES))) + F.lit(1)).cast("int")),
+    )
+
+
+def gen_event_log(
+    spark: SparkSession,
+    n_events: int,
+    n_docs: int,
+    batch_size: int = 100_000,
+    hot_frac: float = 0.0,
+    delete_frac: float = 0.05,
+    insert_frac: float = 0.35,
+    update_frac: float = 0.40,
+    min_len: int = 8,
+    max_len: int = 64,
+    with_source: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Change-event tail. lsn = event ordinal (unique, monotone).
+
+    hot_frac: fraction of events hitting doc_00000000 (skew knob — the
+    analog of the reference manually sharding California,
+    /root/reference/data-prep/msfp-2017/convert-and-prep-California.sh:9-37).
+    Remaining op mass after insert/update/delete fracs is 'upsert'.
+    """
+    df = spark.range(0, n_events, 1, partitions or spark.sparkContext.defaultParallelism)
+    lsn = F.col("id")
+
+    u_doc = _u01(lsn, 23)
+    doc_ord = F.when(u_doc < F.lit(hot_frac), F.lit(0)).otherwise(
+        F.pmod(_mix(lsn, 29), F.lit(n_docs))
+    )
+    u_op = _u01(lsn, 31)
+    op = (
+        F.when(u_op < F.lit(insert_frac), F.lit("insert"))
+        .when(u_op < F.lit(insert_frac + update_frac), F.lit("update"))
+        .when(u_op < F.lit(insert_frac + update_frac + delete_frac), F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+    )
+    len_col = (F.pmod(_mix(lsn, 37), F.lit(max_len - min_len + 1)) + F.lit(min_len)).cast("int")
+    is_del = op == F.lit("delete")
+
+    cols = [
+        lsn.alias("lsn"),
+        (lsn / F.lit(batch_size)).cast("int").alias("batch_id"),
+        op.alias("op"),
+        F.format_string("doc_%08d", doc_ord).alias("doc_id"),
+        F.when(is_del, F.lit(None)).otherwise(_tokens_expr(lsn, len_col)).alias("tokens"),
+    ]
+    if with_source:
+        cols.append(
+            F.when(is_del, F.lit(None))
+            .otherwise(
+                F.element_at(
+                    F.array(*[F.lit(s) for s in SOURCES]),
+                    (F.pmod(_mix(lsn, 41), F.lit(len(SOURCES))) + F.lit(1)).cast("int"),
+                )
+            )
+            .alias("source")
+        )
+    out = df.select(*cols).withColumn(
+        "n_tok",
+        F.when(F.col("tokens").isNull(), F.lit(None)).otherwise(F.size("tokens")).cast("int"),
+    )
+    # column order: lsn, batch_id, op, doc_id, tokens, n_tok[, source]
+    order = ["lsn", "batch_id", "op", "doc_id", "tokens", "n_tok"] + (
+        ["source"] if with_source else []
+    )
+    return out.select(*order)

@@ -1,0 +1,130 @@
+"""Table-layer unit tests: commit atomicity, time travel, pruned reads,
+schema evolution, tag idempotency."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_pipeline_spark.icebox import IceboxTable, SchemaEvolutionError
+
+BASE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+    ]
+)
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, BASE_SCHEMA)
+
+
+def test_create_write_read_roundtrip(spark, tdir):
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+    df = _mkdf(spark, [(f"doc_{i}", [i, i + 1], 2) for i in range(20)])
+    t = t.overwrite_all(df)
+    got = t.read().orderBy("doc_id").collect()
+    assert len(got) == 20
+    assert got[0]["doc_id"] == "doc_0"
+    assert got[0]["tokens"] == [0, 1]
+
+
+def test_bucket_pruned_read(spark, tdir):
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+    df = _mkdf(spark, [(f"doc_{i}", [i], 1) for i in range(50)])
+    t = t.overwrite_all(df)
+    # every row must land in exactly the bucket its manifest entry claims
+    full = t.read().withColumn("_b", t.bucket_of())
+    for b in range(8):
+        want = {r["doc_id"] for r in full.filter(F.col("_b") == b).collect()}
+        got = {r["doc_id"] for r in t.read(buckets=[b]).collect()}
+        assert got == want
+
+
+def test_time_travel_and_immutability(spark, tdir):
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = t.overwrite_all(_mkdf(spark, [("a", [1], 1)]))
+    s1 = t.snapshot_id
+    t = t.overwrite_all(_mkdf(spark, [("a", [2], 1), ("b", [3], 1)]))
+    old = IceboxTable.load(spark, root, snapshot_id=s1)
+    assert [r["tokens"] for r in old.read().collect()] == [[1]]
+    assert {r["doc_id"] for r in t.read().collect()} == {"a", "b"}
+
+
+def test_tagged_commit_idempotent(spark, tdir):
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    df = _mkdf(spark, [("a", [1], 1)]).withColumn("_b", F.lit(0))
+    t = t.commit_rewrite(df, [0], tag="batch:1")
+    sid = t.snapshot_id
+    t2 = t.commit_rewrite(df, [0], tag="batch:1")  # replay → no-op
+    assert t2.snapshot_id == sid
+    assert t2.has_tag("batch:1")
+
+
+def test_schema_evolution_add_and_widen(spark, tdir):
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = t.overwrite_all(_mkdf(spark, [("a", [1], 1)]))
+    evolved = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("tokens", ArrayType(IntegerType())),
+            StructField("n_tok", LongType()),  # widen int32 -> int64
+            StructField("source", StringType()),  # column add
+        ]
+    )
+    t.evolve_schema(evolved)
+    assert isinstance(t.schema["n_tok"].dataType, LongType)
+    # old files (written as int32, without source) read back conformed
+    row = t.read().collect()[0]
+    assert row["n_tok"] == 1 and row["source"] is None
+
+    # illegal change rejected
+    bad = StructType([StructField("tokens", StringType())])
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(bad)
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, tdir):
+    """Simulated torn commit: data written but CURRENT not swapped →
+    loader still sees the previous snapshot."""
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = t.overwrite_all(_mkdf(spark, [("a", [1], 1)]))
+    # fake a crashed writer: orphan data dir, no manifest/pointer update
+    orphan = os.path.join(root, "data", "snap-99999999-dead", "_b=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    t2 = IceboxTable.load(spark, root)
+    assert t2.snapshot_id == t.snapshot_id
+    assert [r["doc_id"] for r in t2.read().collect()] == ["a"]
+
+
+def test_manifest_is_self_contained(spark, tdir):
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = t.overwrite_all(_mkdf(spark, [(f"d{i}", [i], 1) for i in range(10)]))
+    with open(os.path.join(root, "metadata", "CURRENT")) as f:
+        name = f.read().strip()
+    m = json.load(open(os.path.join(root, "metadata", name)))
+    assert set(m) >= {"snapshot_id", "buckets", "schemas", "committed_tags"}
+    for e in m["buckets"].values():
+        assert os.path.isdir(os.path.join(root, e["path"]))

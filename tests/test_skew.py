@@ -1,0 +1,47 @@
+"""Skew suite (SURVEY §5.2 suite 5): one hot doc_id receives ~60% of all
+events; correctness must hold and the salted phase-1 window must actually
+spread the hot key across salt partitions (plan + data inspection)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.cdc import apply_batch, lww_dedup
+from data_pipeline_spark.gen import gen_event_log
+from data_pipeline_spark.icebox import IceboxTable
+
+from .oracle import assert_tables_equal, replay_oracle
+from .test_cdc_apply import BASE_SCHEMA, PAYLOAD
+
+
+def test_hot_key_correctness(spark, tdir):
+    log = gen_event_log(
+        spark, n_events=3000, n_docs=200, batch_size=3000, hot_frac=0.6, partitions=4
+    )
+    hot_count = log.filter(F.col("doc_id") == "doc_00000000").count()
+    assert hot_count > 1500  # skew actually generated
+
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=8)
+    t = apply_batch(t, log, 0, n_salts=8)
+    got = t.read().toPandas()
+    expected = replay_oracle(log.toPandas(), PAYLOAD)
+    assert_tables_equal(got[list(expected.columns)], expected)
+
+
+def test_salted_phase_spreads_hot_key(spark):
+    log = gen_event_log(
+        spark, n_events=2000, n_docs=50, batch_size=2000, hot_frac=0.5, partitions=4
+    )
+    # phase-1 survivors for the hot key: one per populated salt bucket
+    salted = log.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(8)))
+    per_salt = (
+        salted.filter(F.col("doc_id") == "doc_00000000")
+        .select("_salt").distinct().count()
+    )
+    assert per_salt > 1  # hot key really spans multiple salt partitions
+
+    # the salted plan contains two window nodes (phase 1 + phase 2)
+    plan = lww_dedup(log, n_salts=8)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("window") >= 2
