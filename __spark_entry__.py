@@ -1,38 +1,747 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every `queries()` entry is a Spark-first implementation of an operator
+class from SURVEY.md §2 (or a training-data-pipeline extension), and —
+wherever the semantics are SQL-expressible — `oracle_sql()` carries a
+DuckDB query that computes the IDENTICAL result (same column names,
+same types, same values) over the same parquet tables.
+
+Determinism rules that make the oracles exact:
+  * all hashes are the portable h64 (md5-derived — identical in Spark
+    and DuckDB; see data_pipeline_spark/functions/portable.py);
+  * float aggregations either sum 2-decimal inputs (rounded to their
+    exact grain) or fold left-to-right identically in both engines;
+  * every ranking has a total order (explicit tie-break columns);
+  * the CDC queries regenerate their OWN event log from a pure
+    function of the row ordinal (data_pipeline_spark/gen.py), so the
+    DuckDB oracle rebuilds the identical log and replays it with a
+    window — an end-to-end replay-equivalence check of the engine.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_pipeline_spark.cdc.apply import apply_batch, lww_dedup, replay_log
+from data_pipeline_spark.gen import gen_event_log_portable, portable_event_log_sql
+from data_pipeline_spark.icebox.table import IceboxTable
+from data_pipeline_spark.operators import dedup as D
+from data_pipeline_spark.operators import multimodal as M
+from data_pipeline_spark.operators import similarity as S
+from data_pipeline_spark.operators import text as T
+from data_pipeline_spark.operators.text import BPE_PATTERN, LANGS, STOPWORDS
+from data_pipeline_spark.functions.portable import (
+    h64_sql,
+    norm_text_sql,
+    shingles_sql,
+    words_sql,
+)
+from data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_OP_RANK_SQL = (
+    "CASE op WHEN 'insert' THEN 0 WHEN 'update' THEN 1 "
+    "WHEN 'upsert' THEN 2 WHEN 'delete' THEN 3 END"
+)
+
+BASE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+    ]
+)
+
+# CDC replays are deterministic pure functions of their parameters; memo the
+# table root per (params) so entry/queries/bench don't re-replay in-session.
+_REPLAY_CACHE: dict[tuple, str] = {}
+
+
+def _replayed_table(
+    spark: SparkSession, n_events: int, n_docs: int, batch_size: int, hot_pct: int
+) -> IceboxTable:
+    key = (n_events, n_docs, batch_size, hot_pct)
+    if key in _REPLAY_CACHE:
+        return IceboxTable.load(spark, _REPLAY_CACHE[key])
+    root = os.path.join(
+        tempfile.mkdtemp(prefix="icebox_entry_"), f"t_{n_events}_{n_docs}"
+    )
+    table = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=16)
+    ev = gen_event_log_portable(
+        spark, n_events, n_docs, batch_size=batch_size, hot_pct=hot_pct
+    )
+    table = replay_log(table, ev, n_salts=8)
+    _REPLAY_CACHE[key] = root
+    return table
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """CDC replay at tiny scale: generate a 1500-event binlog, apply it
+    through the icebox MERGE path, return the final table state."""
+    table = _replayed_table(spark, 1500, 150, batch_size=500, hot_pct=20)
+    return table.read().select("doc_id", "tokens", "n_tok", "source")
+
+
+# ---------------------------------------------------------------------------
+# CDC engine queries (self-generating; oracles rebuild the identical log)
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
+    return table.read().select("doc_id", "tokens", "n_tok", "source")
+
+
+def _sql_cdc_replay_final_state() -> str:
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
+SELECT doc_id, tokens, n_tok, source FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
+    return (
+        table.read_lineage()
+        .groupBy("batch_id")
+        .agg(
+            F.sum("events_applied").alias("events_applied"),
+            F.sum("rows_upserted").alias("rows_upserted"),
+            F.max("lsn_watermark").alias("lsn_watermark"),
+        )
+    )
+
+
+def _sql_cdc_lineage() -> str:
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+w AS (SELECT *, row_number() OVER (PARTITION BY batch_id, doc_id ORDER BY lsn DESC) rn FROM ev)
+SELECT batch_id,
+       CAST(count(*) AS BIGINT) AS events_applied,
+       CAST(sum(CASE WHEN rn = 1 AND op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS rows_upserted,
+       max(lsn) AS lsn_watermark
+FROM w GROUP BY batch_id
+"""
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 0 arrives without `source` (column-add later) and with int32
+    n_tok; batch 1 carries `source` and int64 n_tok (type widen)."""
+    ev = gen_event_log_portable(spark, 2000, 200, batch_size=1000, hot_pct=0)
+    schema = StructType([f for f in BASE_SCHEMA.fields if f.name != "source"])
+    root = os.path.join(tempfile.mkdtemp(prefix="icebox_evo_"), "t")
+    table = IceboxTable.create(spark, root, schema, n_buckets=16)
+    b0 = ev.filter(F.col("batch_id") == 0).drop("source")
+    b1 = ev.filter(F.col("batch_id") == 1).withColumn(
+        "n_tok", F.col("n_tok").cast("long")
+    )
+    table = apply_batch(table, b0, 0, n_salts=8)
+    table = apply_batch(table, b1, 1, n_salts=8)
+    return table.read().select("doc_id", "tokens", "n_tok", "source")
+
+
+def _sql_cdc_schema_evolution() -> str:
+    return f"""
+WITH ev AS ({portable_event_log_sql(2000, 200, 1000, 0)}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
+SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok,
+       CASE WHEN batch_id = 0 THEN NULL ELSE source END AS source
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's salted LWW dedup applied to the driver `events` table
+    as a change feed: event_id=LSN, user_id=key, event_type→op."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "upsert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    return (
+        lww_dedup(ev, key="user_id", n_salts=8)
+        .filter(F.col("op") != "delete")
+        .select(
+            "user_id",
+            F.col("lsn").alias("last_lsn"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_SQL_CDC_LWW_DEDUP = f"""
+WITH e AS (
+  SELECT event_id AS lsn, user_id, event_type, value,
+         CASE event_type WHEN 'signup' THEN 'insert' WHEN 'purchase' THEN 'upsert'
+              WHEN 'error' THEN 'delete' ELSE 'update' END AS op
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC, {_OP_RANK_SQL} DESC) rn FROM e)
+SELECT user_id, lsn AS last_lsn, event_type AS last_event_type, value AS last_value
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2.2-2.7) on the TPC-H-ish tables
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 aggregation with categories + P5 range predicate (TPC-H Q1
+    shape). Sums of 2-decimal inputs rounded to their exact grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P6: range + null-safe predicates with column pruning — filters
+    and the 3-column projection reach the parquet scan."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_size").between(10, 20))
+        & (F.col("p_type").isin("ECONOMY", "PROMO"))
+        & (F.col("p_retailprice") > 1200.0)
+    ).select("p_partkey", "p_name", "p_retailprice")
+
+
+_SQL_FILTER_PROJECT = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('ECONOMY','PROMO') AND p_retailprice > 1200.0
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 broadcast dim joins + A5 agg (TPC-H Q5 shape): small dims
+    (region/nation) broadcast, fact-fact join shuffles on keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA','EUROPE')
+GROUP BY r_name, n_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 left-semi: customers having a high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 left-anti (the reference's collisions-removal composition,
+    resolve-footprints.scala:180-183, as the built-in join type)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+A3: unionByName + distinct over two keyed projections."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s).distinct()
+
+
+_SQL_UNION_DISTINCT = """
+SELECT DISTINCT nationkey, side FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
+"""
+
+
+def q_window_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window dedup: latest event per user (row_number, total order)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_SQL_WINDOW_LWW = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+WHERE rn = 1
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 global top-k with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_SQL_TOPK_ORDERS = """
+SELECT rank, o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders)
+WHERE rank <= 10
+"""
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar surface: when/otherwise (F13), concat (F16),
+    substring (F15), round (F14), unit conversion (F12)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size") < 15, "small")
+        .when(F.col("p_size") < 35, "medium")
+        .otherwise("large")
+        .alias("size_cat"),
+        F.concat(F.substring("p_brand", 1, 5), F.lit("/"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+        F.round(F.col("p_retailprice") / 3.281, 2).alias("price_per_m"),
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+    )
+
+
+_SQL_SCALAR_FUNCS = """
+SELECT p_partkey,
+       CASE WHEN p_size < 15 THEN 'small' WHEN p_size < 35 THEN 'medium' ELSE 'large' END AS size_cat,
+       substr(p_brand, 1, 5) || '/' || p_type AS brand_type,
+       round(p_retailprice / 3.281, 2) AS price_per_m,
+       upper(substr(p_name, 1, 8)) AS name_prefix
+FROM part
+"""
+
+
+def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 grouped collection (the reference's grid→counties list build,
+    geocode app.js:108-117): sorted distinct set as a joined string."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+    )
+
+
+_SQL_GROUP_COLLECT = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag window: per-user count of event-type transitions (the
+    change-tail view of a keyed stream)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_type").isNotNull()
+                    & (F.col("prev_type") != F.col("event_type")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changes")
+        )
+    )
+
+
+_SQL_CHANGE_DETECT = """
+SELECT user_id, CAST(sum(CASE WHEN prev_type IS NOT NULL AND prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+FROM (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) prev_type FROM events)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline queries: dedup / similarity / text / multimodal
+
+_SH5 = shingles_sql("text", 5)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_EXACT = f"""
+SELECT {h64_sql('text')} AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_rep(_t(spark, sf_dir, "documents"), k=16, bands=4, shingle=5)
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    band_concat = "concat_ws(',', " + ", ".join(
+        f"CAST(sig[b*4+{r}] AS VARCHAR)" for r in range(1, 5)
+    ) + ")"
+    return f"""
+WITH sh AS (SELECT doc_id, {_SH5} AS s FROM documents),
+sig AS (SELECT doc_id,
+  [list_min(list_transform(s, x -> {h64_sql("concat(CAST(j AS VARCHAR), ':', x)")})) for j in range(0, 16)] AS sig
+  FROM sh),
+bands AS (SELECT doc_id, b, {h64_sql(band_concat)} AS bucket FROM sig, range(0,4) t(b)),
+reps AS (SELECT b, bucket, min(doc_id) AS bucket_rep FROM bands GROUP BY b, bucket)
+SELECT bands.doc_id AS doc_id, min(bucket_rep) AS rep_id
+FROM bands JOIN reps USING (b, bucket) GROUP BY bands.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+_SQL_DEDUP_SIMHASH = f"""
+WITH w AS (SELECT doc_id, unnest({words_sql('text')}) AS w FROM documents),
+h AS (SELECT doc_id, {h64_sql('w')} AS h FROM w),
+pb AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       FROM h, range(0,16) t(b) GROUP BY doc_id, b)
+SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM pb GROUP BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard, all pairs over a 50-doc slice (brute-force
+    correctness baseline; the LSH-cascaded path is tested in pytest)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    pairs = D.ngram_jaccard_pairs(d, shingle=5, threshold=0.0, all_pairs=True)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+sh AS (SELECT doc_id, unnest(list_distinct({_SH5})) AS s FROM d),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+"""
+
+
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, k=3)
+
+
+_SQL_EMBED_COSINE_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id < 10),
+pairs AS (
+  SELECT qid AS query_id, vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i -> qv[i] * ve[i])) /
+         (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) *
+          sqrt(list_sum(list_transform(range(1, 65), i -> ve[i] * ve[i])))) AS c
+  FROM v, q WHERE vec_id <> qid)
+SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+  FROM pairs)
+WHERE rank <= 3
+"""
+
+
+def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return v.select(
+        "vec_id", S.lsh_bits(F.col("v"), dim=64, n_planes=8, table=0).alias("bucket")
+    )
+
+
+def _sql_embed_lsh_buckets() -> str:
+    coef = h64_sql("concat('0:', CAST(p AS VARCHAR), ':', CAST(i AS VARCHAR))")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+bits AS (
+  SELECT vec_id, p,
+         CASE WHEN list_sum(list_transform(range(0, 64),
+              i -> ve[i + 1] * (({coef} % 2001 - 1000) / 1000.0))) >= 0
+              THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+  FROM v, range(0, 8) t(p))
+SELECT vec_id, CAST(sum(bit << CAST(p AS INT)) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_lang_id() -> str:
+    w = f"list_transform({words_sql('text')}, x -> lower(x))"
+    scores = {
+        lng: f"length(list_filter({w}, x -> list_contains({STOPWORDS[lng]!r}, x)))"
+        for lng in LANGS
+    }
+    best = "greatest(" + ", ".join(f"s_{lng}" for lng in LANGS) + ")"
+    pick = " ".join(f"WHEN s_{lng} = best THEN '{lng}'" for lng in LANGS)
+    inner = ", ".join(f"{scores[lng]} AS s_{lng}" for lng in LANGS)
+    return f"""
+WITH s AS (SELECT doc_id, {inner} FROM documents),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, CASE {pick} END AS lang_pred, CAST(best AS INT) AS lang_score FROM b
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_quality() -> str:
+    w = words_sql("text")
+    lw = f"list_transform({w}, x -> lower(x))"
+    stop = f"length(list_filter({lw}, x -> list_contains({STOPWORDS['en']!r}, x)))"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length({w}) AS n_words,
+    list_sum(list_transform({w}, x -> CAST(length(x) AS DOUBLE))) AS sum_wlen,
+    length(regexp_split_to_array(text, '[.,;:!?]')) - 1 AS n_punct,
+    {stop} AS stop_en
+  FROM documents)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_words AS INT) AS n_words,
+  round(sum_wlen / n_words, 6) AS mean_wlen,
+  CAST(n_punct AS INT) AS n_punct,
+  round(stop_en / n_words, 6) AS stop_ratio,
+  round(n_punct / greatest(n_words, 1), 6) AS punct_ratio,
+  round(least(n_words / 20.0, 1.0) * (0.5 + 0.5 * least(stop_en / n_words * 5, 1.0)), 6) AS quality
+FROM f
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(_t(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  CAST(length({words_sql('text')}) AS INT) AS n_ws_tokens,
+  CAST(length(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+  round(length(text) / greatest(length(regexp_extract_all(text, '{BPE_PATTERN}')), 1), 6) AS chars_per_token
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_fingerprint() -> str:
+    norm = norm_text_sql("text")
+    sh = shingles_sql("nrm", 8)
+    return f"""
+WITH n AS (SELECT doc_id, {norm} AS nrm FROM documents)
+SELECT doc_id, {h64_sql('nrm')} AS fp_norm,
+  CASE WHEN length(nrm) >= 8
+       THEN list_min(list_transform({sh}, x -> {h64_sql('x')}))
+       ELSE NULL END AS fp_winnow
+FROM n
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: synthesize a fake-codec binary column from
+    document metadata, decode it back via Arrow-batched mapInPandas."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") % 640).cast("int").alias("w"),
+        (F.col("doc_id") % 480 + 1).cast("int").alias("h"),
+    )
+    media = M.pack_fake_media(d, "doc_id", "w", "h", kind="image")
+    return M.decode_metadata(media, id_col="id", media_col="media")
+
+
+_SQL_MULTIMODAL_META = """
+SELECT doc_id AS id, CAST(n_chars % 640 AS INT) AS width,
+       CAST(doc_id % 480 + 1 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames, CAST(13 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_lineage": q_cdc_lineage,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_lww_dedup": q_cdc_lww_dedup,
+        "pricing_summary": q_pricing_summary,
+        "filter_project": q_filter_project,
+        "revenue_by_nation": q_revenue_by_nation,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_distinct": q_union_distinct,
+        "window_lww": q_window_lww,
+        "topk_orders": q_topk_orders,
+        "scalar_funcs": q_scalar_funcs,
+        "group_collect": q_group_collect,
+        "change_detect": q_change_detect,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_lsh_buckets": q_embed_lsh_buckets,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_replay_final_state": _sql_cdc_replay_final_state(),
+        "cdc_lineage": _sql_cdc_lineage(),
+        "cdc_schema_evolution": _sql_cdc_schema_evolution(),
+        "cdc_lww_dedup": _SQL_CDC_LWW_DEDUP,
+        "pricing_summary": _SQL_PRICING_SUMMARY,
+        "filter_project": _SQL_FILTER_PROJECT,
+        "revenue_by_nation": _SQL_REVENUE_BY_NATION,
+        "semi_join": _SQL_SEMI_JOIN,
+        "anti_join": _SQL_ANTI_JOIN,
+        "union_distinct": _SQL_UNION_DISTINCT,
+        "window_lww": _SQL_WINDOW_LWW,
+        "topk_orders": _SQL_TOPK_ORDERS,
+        "scalar_funcs": _SQL_SCALAR_FUNCS,
+        "group_collect": _SQL_GROUP_COLLECT,
+        "change_detect": _SQL_CHANGE_DETECT,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
+        "dedup_simhash": _SQL_DEDUP_SIMHASH,
+        "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,
+        "embed_cosine_topk": _SQL_EMBED_COSINE_TOPK,
+        "embed_lsh_buckets": _sql_embed_lsh_buckets(),
+        "text_lang_id": _sql_text_lang_id(),
+        "text_quality": _sql_text_quality(),
+        "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
+        "text_fingerprint": _sql_text_fingerprint(),
+        "multimodal_meta": _SQL_MULTIMODAL_META,
+    }

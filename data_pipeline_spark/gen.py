@@ -126,3 +126,109 @@ def gen_event_log(
         ["source"] if with_source else []
     )
     return out.select(*order)
+
+
+# ---------------------------------------------------------------------------
+# PORTABLE generator: identical event log computable by Spark AND DuckDB.
+#
+# Same design (row i = pure f(i)) but every derivation uses the md5-based
+# h64 (functions/portable.py) instead of Spark-private xxhash64, so an
+# external oracle can regenerate the exact log — tokens included — and
+# independently compute the expected final table. This is the engine's
+# replay-equivalence contract (SURVEY.md §5.2 suite 1) made
+# engine-independent, in the spirit of the reference's exact-golden-value
+# tests (/root/reference/grid-and-attrs/footprint.test.js:22-34).
+#
+# gen_event_log_portable (Spark) and portable_event_log_sql (DuckDB CTE)
+# MUST stay in lockstep — tests/test_portable_parity.py compares them
+# row-for-row including token arrays.
+# ---------------------------------------------------------------------------
+
+from .functions.portable import h64, h64_sql  # noqa: E402
+
+P_MIN_LEN = 8
+P_MAX_LEN = 24
+# op mix: percent thresholds over h64(lsn)%100
+P_INSERT, P_UPDATE, P_DELETE = 35, 40, 5  # remainder = upsert
+
+
+def _lsn_str(extra=None):
+    c = F.col("id").cast("string")
+    if extra is not None:
+        c = F.concat(c, F.lit(":"), extra.cast("string"))
+    return c
+
+
+def gen_event_log_portable(
+    spark: SparkSession,
+    n_events: int,
+    n_docs: int,
+    batch_size: int = 1000,
+    hot_pct: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Portable change-event tail; see portable_event_log_sql for the twin."""
+    df = spark.range(0, n_events, 1, partitions or spark.sparkContext.defaultParallelism)
+    lsn = F.col("id")
+    u_op = h64(_lsn_str(), salt="op") % 100
+    op = (
+        F.when(u_op < P_INSERT, F.lit("insert"))
+        .when(u_op < P_INSERT + P_UPDATE, F.lit("update"))
+        .when(u_op < P_INSERT + P_UPDATE + P_DELETE, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+    )
+    doc_ord = F.when(
+        (h64(_lsn_str(), salt="hot") % 100) < hot_pct, F.lit(0).cast("bigint")
+    ).otherwise(h64(_lsn_str(), salt="doc") % n_docs)
+    length = (h64(_lsn_str(), salt="len") % (P_MAX_LEN - P_MIN_LEN + 1) + P_MIN_LEN).cast("int")
+    is_del = op == F.lit("delete")
+    tokens = F.transform(
+        F.sequence(F.lit(0), length - F.lit(1)),
+        lambda j: (h64(_lsn_str(j), salt="tok") % VOCAB).cast("int"),
+    )
+    source = F.element_at(
+        F.array(*[F.lit(s) for s in SOURCES]),
+        (h64(_lsn_str(), salt="src") % len(SOURCES) + 1).cast("int"),
+    )
+    return df.select(
+        lsn.alias("lsn"),
+        (lsn / batch_size).cast("int").alias("batch_id"),
+        op.alias("op"),
+        F.format_string("doc_%06d", doc_ord).alias("doc_id"),
+        F.when(is_del, F.lit(None)).otherwise(tokens).alias("tokens"),
+        F.when(is_del, F.lit(None)).otherwise(length).alias("n_tok"),
+        F.when(is_del, F.lit(None)).otherwise(source).alias("source"),
+    )
+
+
+def portable_event_log_sql(
+    n_events: int, n_docs: int, batch_size: int = 1000, hot_pct: int = 0
+) -> str:
+    """DuckDB CTE body producing the IDENTICAL event log (name it `ev`)."""
+    ls = "CAST(i AS VARCHAR)"
+    u_op = h64_sql(ls, salt="op") + " % 100"
+    doc_ord = (
+        f"CASE WHEN ({h64_sql(ls, salt='hot')} % 100) < {hot_pct} THEN 0 "
+        f"ELSE {h64_sql(ls, salt='doc')} % {n_docs} END"
+    )
+    length = f"({h64_sql(ls, salt='len')} % {P_MAX_LEN - P_MIN_LEN + 1} + {P_MIN_LEN})"
+    tok_j = h64_sql("CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)", salt="tok")
+    src = f"['web','books','code','wiki'][CAST({h64_sql(ls, salt='src')} % 4 + 1 AS INT)]"
+    return f"""
+    SELECT
+      i AS lsn,
+      CAST(i // {batch_size} AS INT) AS batch_id,
+      CASE WHEN u_op < {P_INSERT} THEN 'insert'
+           WHEN u_op < {P_INSERT + P_UPDATE} THEN 'update'
+           WHEN u_op < {P_INSERT + P_UPDATE + P_DELETE} THEN 'delete'
+           ELSE 'upsert' END AS op,
+      printf('doc_%06d', {doc_ord}) AS doc_id,
+      CASE WHEN u_op >= {P_INSERT + P_UPDATE} AND u_op < {P_INSERT + P_UPDATE + P_DELETE}
+           THEN NULL
+           ELSE [CAST({tok_j} % {VOCAB} AS INT) for j in range(0, {length})] END AS tokens,
+      CASE WHEN u_op >= {P_INSERT + P_UPDATE} AND u_op < {P_INSERT + P_UPDATE + P_DELETE}
+           THEN NULL ELSE CAST({length} AS INT) END AS n_tok,
+      CASE WHEN u_op >= {P_INSERT + P_UPDATE} AND u_op < {P_INSERT + P_UPDATE + P_DELETE}
+           THEN NULL ELSE {src} END AS source
+    FROM (SELECT range AS i, {u_op} AS u_op FROM range(0, {n_events}))
+    """

@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, mirroring the reference's two spatial-lookup paths — indexed
+grid probe (/root/reference/grid-and-attrs/footprint.js:134-144) vs
+exhaustive scan fallback (footprint.js:146-158):
+
+  * brute-force cosine top-k: the correctness baseline. All-pairs join +
+    exact cosine, deterministic tie-break. O(n·m) — fine for a query set
+    against a corpus, never for corpus×corpus at 100 TB.
+  * LSH-bucketed (random hyperplanes): the scale path. Sign-bit sketch
+    buckets co-locate similar vectors; candidate generation is a bucket
+    equi-join (shuffle on a uniform key), exact cosine re-rank inside
+    buckets only. Multiple independent tables (rotations) trade recall
+    for cost — the same trick as the reference's 4 shifted grids
+    (resolve-footprints.scala:128-133).
+
+Dot products / norms use built-in higher-order functions (zip_with +
+aggregate) — JVM-side, no Python. Hyperplane coefficients are
+h64-derived pseudo-randoms, so plans are reproducible and computable by
+any engine (the DuckDB oracle recomputes them exactly).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ..functions.portable import h64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — bit-identical to an equivalent left-to-right sum
+    in the oracle engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors of each query vector (excluding itself).
+
+    queries: (id_col, vec_col) — typically a small selection, broadcast.
+    Output: (query_id, neighbor_id, cos, rank). Ties broken by neighbor
+    id ascending (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("nv"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("nv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def lsh_bits(
+    vec: Column, dim: int, n_planes: int = 8, table: int = 0
+) -> Column:
+    """Random-hyperplane sign sketch → bigint bucket id.
+
+    bit p = 1 iff dot(vec, plane_p) >= 0, plane_p[i] derived from
+    h64(f'{table}:{p}:{i}') — reproducible anywhere.
+    """
+    bits = []
+    for p in range(n_planes):
+        coefs = F.array(
+            *[
+                ((h64(F.lit(f"{table}:{p}:{i}")) % 2001 - 1000) / 1000.0).cast("double")
+                for i in range(dim)
+            ]
+        )
+        bit = F.when(dot(vec, coefs) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bits.append(F.shiftleft(bit, p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate all-neighbors top-k: candidates share an LSH bucket in
+    any table; exact cosine re-rank within candidates.
+
+    Output: (query_id, neighbor_id, cos, rank) — rank over FOUND
+    candidates (recall < 1 vs cosine_topk is expected; that gap is the
+    approximation, not a bug).
+    """
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    tables = [
+        v.select(
+            id_col,
+            F.lit(t).alias("tbl"),
+            lsh_bits(F.col("v"), dim, n_planes, table=t).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    bb = tables[0]
+    for t in tables[1:]:
+        bb = bb.unionByName(t)
+    cand = (
+        bb.alias("l")
+        .join(bb.alias("r"), ["tbl", "bucket"])
+        .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("query_id"),
+            F.col(f"r.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    qv = v.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    nv = v.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = cand.join(qv, "query_id").join(nv, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

@@ -1,0 +1,192 @@
+"""Unit tests for the training-data-pipeline operators: dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard), similarity search, text
+analysis, multimodal plumbing.
+
+Style follows the reference's golden/structural tests
+(/root/reference/grid-and-attrs/footprint.test.js): tiny deterministic
+fixtures, planted duplicates, exact expectations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.operators import dedup as D
+from data_pipeline_spark.operators import multimodal as M
+from data_pipeline_spark.operators import similarity as S
+from data_pipeline_spark.operators import text as T
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some tasty food for the winter"
+)
+NEAR = BASE.replace("tasty", "yummy")  # one-word edit → near-duplicate
+OTHER = (
+    "completely different content about spark shuffles partitions and "
+    "catalyst optimizer rules rewriting logical plans into physical ones"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0
+        (3, OTHER),
+        (4, "short"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["canonical_id"]: r["n_dupes"] for r in D.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 6
+    assert len(out) == 5
+
+
+def test_minhash_lsh_groups_exact_and_near_dups(docs):
+    rep = {r["doc_id"]: r["rep_id"] for r in D.minhash_lsh_rep(docs).collect()}
+    assert rep[1] == 0  # exact dup must share every band
+    assert rep[2] == 0  # one-word edit shares most shingles → some band
+    assert rep[3] == 3  # unrelated text stays its own rep
+    assert rep[0] == 0
+
+
+def test_simhash_near_dup_is_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=16).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_other = bin(sh[0] ^ sh[3]).count("1")
+    assert ham <= 4
+    assert ham < ham_other
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_lsh_jaccard_matches_brute_force(docs):
+    lsh = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    brute = D.ngram_jaccard_pairs(docs, threshold=0.5, all_pairs=True).collect()
+    # at this threshold LSH candidates must include every true pair
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {
+        (r["id_a"], r["id_b"]) for r in brute
+    }
+
+
+# --------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 clusters along axes + one duplicate of vec 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.02, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(vectors):
+    out = S.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    rows = {r["rank"]: (r["neighbor_id"], r["cos"]) for r in out.collect()}
+    assert rows[1][0] == 5 and rows[1][1] == pytest.approx(1.0)
+    assert rows[2][0] == 1
+
+
+def test_lsh_topk_finds_identical_vector(vectors):
+    out = S.lsh_bucket_topk(vectors, k=2, dim=4, n_planes=4, n_tables=2)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()
+    }
+    # identical vectors land in identical buckets in EVERY table
+    assert got[(0, 1)] == 5
+    assert got[(5, 1)] == 0
+
+
+# --------------------------------------------------------------------- text
+
+
+def test_lang_id_stopword_profiles(spark):
+    rows = [
+        (0, "the cat and the dog of a house is it that for"),
+        (1, "der Hund und die Katze ist ein Tier zu den mit von"),
+        (2, "le chat et la maison est un une des du que"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in T.lang_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr"}
+
+
+def test_quality_score_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat. on the mat!")], "doc_id long, text string"
+    )
+    r = T.quality_score(df).collect()[0]
+    assert r["n_words"] == 6
+    assert r["n_punct"] == 2
+    assert r["n_chars"] == 24
+    assert 0.0 < r["quality"] <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "ab 12 c!d")], "doc_id long, text string")
+    r = T.token_counts(df).collect()[0]
+    assert r["n_ws_tokens"] == 3
+    assert r["n_bpe_tokens"] == 5  # ab | 12 | c | ! | d
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "Hello,   World! This is Fine."),
+            (1, "hello world this is fine"),
+            (2, "something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["fp_norm"], r["fp_winnow"]) for r in T.fingerprint(df).collect()}
+    assert out[0] == out[1]  # punctuation/case/whitespace-invariant
+    assert out[0] != out[2]
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def test_multimodal_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, 640, 480), (2, 128, 72)], "id long, w int, h int"
+    )
+    media = M.pack_fake_media(df, "id", "w", "h", kind="image")
+    out = {r["id"]: r for r in M.decode_metadata(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert (out[2]["width"], out[2]["height"]) == (128, 72)
+    assert out[1]["n_bytes"] == 13
+    assert out[1]["n_frames"] == 1
+
+
+def test_multimodal_frame_sample_shape(spark):
+    df = spark.createDataFrame([(1, 64, 64)], "id long, w int, h int")
+    media = M.pack_fake_media(df, "id", "w", "h", kind="video")
+    frames = M.frame_sample(media, every_n=1).collect()
+    assert len(frames) == 1
+    assert frames[0]["frame_no"] == 0
+
+
+def test_decode_stub_rejects_real_formats():
+    with pytest.raises(NotImplementedError):
+        M._decode_stub(b"\x89PNG\r\n\x1a\n....")

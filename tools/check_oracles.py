@@ -1,0 +1,112 @@
+"""Emulate the driver's correctness gate locally: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() twin on
+DuckDB at the same sf, compare row count, column names, and values
+(order-insensitive, exact).
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from data_pipeline_spark.session import get_spark  # noqa: E402
+from data_pipeline_spark.sources.tables import TABLES  # noqa: E402
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    key = df.apply(lambda r: tuple(str(x) for x in r), axis=1)
+    return df.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def _eq(a, b) -> tuple[bool, str]:
+    if a.shape != b.shape:
+        return False, f"shape {a.shape} vs {b.shape}"
+    if list(a.columns) != list(b.columns):
+        return False, f"cols {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        for i in range(len(av)):
+            x, y = av[i], bv[i]
+            if isinstance(x, tuple) or isinstance(y, tuple):
+                if tuple(x or ()) != tuple(y or ()):
+                    return False, f"col {c} row {i}: {str(x)[:60]} vs {str(y)[:60]}"
+            elif isinstance(x, float) or isinstance(y, float):
+                xn = x is None or (isinstance(x, float) and math.isnan(x))
+                yn = y is None or (isinstance(y, float) and math.isnan(y))
+                if xn or yn:
+                    if xn != yn:
+                        return False, f"col {c} row {i}: {x} vs {y} (null)"
+                elif x != y:
+                    d = abs(x - y)
+                    return False, f"col {c} row {i}: {x!r} vs {y!r} (diff {d:.2e})"
+            else:
+                if (x is None) != (y is None) or (x is not None and x != y):
+                    return False, f"col {c} row {i}: {x!r} vs {y!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("check_oracles", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        t1 = time.time()
+        sql = os_.get(name)
+        if sql is None:
+            print(f"SKIP  {name}: no oracle (rows={len(sdf)}, {t1-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        ok, msg = _eq(_canon(sdf), _canon(ddf))
+        status = "OK  " if ok else "FAIL"
+        if not ok:
+            n_fail += 1
+        print(
+            f"{status}  {name}: rows {len(sdf)}/{len(ddf)} spark={t1-t0:.1f}s"
+            + ("" if ok else f" — {msg}")
+        )
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
