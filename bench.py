@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and, as the north metric, a large-scale CDC
+replay measuring sustained change-events/sec applied through the icebox
+MERGE path. Prints exactly ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "cdc_events_per_sec": ...}
+
+Knobs (env):
+    SPARK_GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[k] parallelism (default 32)
+    BENCH_CDC_EVENTS     CDC replay size (default 2_000_000)
+    BENCH_CDC_BATCHES    number of micro-batches (default 4)
+    BENCH_SKIP_QUERIES   "1" → only the CDC throughput run (scaling bench)
+
+Each query is forced end-to-end with a ``noop``-format write (full
+execution, no driver collect). Query time excludes session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_pipeline_spark.cdc.apply import replay_log  # noqa: E402
+from data_pipeline_spark.gen import gen_event_log  # noqa: E402
+from data_pipeline_spark.icebox.table import IceboxTable  # noqa: E402
+from data_pipeline_spark.session import get_spark  # noqa: E402
+
+BASE_SCHEMA = entrymod.BASE_SCHEMA
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_cdc_throughput(
+    spark, n_events: int, n_batches: int, n_buckets: int = 64, n_salts: int = 16
+) -> dict:
+    """The north metric: sustained events/sec applied to the table.
+
+    Materializes the binlog to parquet first (apply time must not be
+    diluted by generation), then replays batch-by-batch through the
+    exactly-once MERGE path. Skew: 10% of events hit one hot doc.
+    """
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        events_dir = os.path.join(work, "events")
+        n_docs = max(n_events // 10, 1)
+        batch_size = max(n_events // n_batches, 1)
+        ev = gen_event_log(
+            spark, n_events, n_docs, batch_size=batch_size, hot_frac=0.10
+        )
+        ev.write.partitionBy("batch_id").parquet(events_dir)
+
+        table = IceboxTable.create(
+            spark, os.path.join(work, "table"), BASE_SCHEMA, n_buckets=n_buckets
+        )
+        log = spark.read.parquet(events_dir)
+        t0 = time.perf_counter()
+        table = replay_log(table, log, n_salts=n_salts)
+        elapsed = time.perf_counter() - t0
+        final_rows = table.read().count()
+        return {
+            "cdc_events": n_events,
+            "cdc_batches": n_batches,
+            "cdc_apply_sec": round(elapsed, 3),
+            "cdc_events_per_sec": round(n_events / elapsed, 1),
+            "cdc_final_rows": final_rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+    n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    cdc = bench_cdc_throughput(spark, n_events, n_batches)
+    queries = (
+        {}
+        if os.environ.get("BENCH_SKIP_QUERIES") == "1"
+        else bench_queries(spark, sf_dir)
+    )
+    total = round(cdc["cdc_apply_sec"] + sum(queries.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {"cdc_apply": cdc["cdc_apply_sec"], **queries},
+        "sf": sf,
+        "cpus": cpus,
+        **cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,17 +26,36 @@ non-colliding newcomers union in
 LSN order replacing source order, and upgrades its arbitrary-winner
 dropDuplicates (resolve-footprints.scala:96) to a deterministic window.
 
-Scale design:
-  * dedup is TWO-PHASE SALTED: phase 1 ranks within (doc_id, salt) so a
-    hot key's events spread over `n_salts` tasks; phase 2 ranks the ≤
-    n_salts per-key survivors. This is the reference's shifted-grid trick
-    (resolve-footprints.scala:104-110,128-133) re-applied to hash salts.
+Scale design (what survives a 1000-executor / 100 TB target):
+
+  * dedup strategies (identical results, tested against each other):
+      - "agg" (apply default): one hash aggregate
+        `max_by(payload, (lsn, op_rank))` per key. Tungsten's PARTIAL
+        aggregation reduces every map partition to one candidate per key
+        BEFORE the exchange — each map task acts as a salt bucket, so a
+        hot key ships at most #map-tasks rows through the shuffle. This
+        is the salted two-phase pattern executed by the engine itself,
+        one exchange, no sort.
+      - "window" (the explicit two-phase form): phase 1 ranks within
+        (doc_id, salt), phase 2 ranks the ≤ n_salts survivors — the
+        reference's shifted-grid trick
+        (resolve-footprints.scala:104-110,128-133) re-applied to hash
+        salts. Two exchanges + sorts; kept as the spec-literal path.
+  * merge strategies:
+      - "join" (chosen when the deduped batch is broadcastable — the
+        steady-state CDC shape: small batch vs huge table): copy-on-write
+        via `target LEFT JOIN broadcast(winners)` — the big side never
+        shuffles and never sorts; additions come from a key-column-pruned
+        anti probe. Zero exchanges over target data.
+      - "shuffle" (batch ~ table size, e.g. initial backfill): union +
+        one exchange on the bucket column + one per-bucket sort shared by
+        the LWW window AND the partitioned, key-clustered write.
   * the target scan is partition-pruned to the buckets the batch touches
     (the analog of the reference reading one cty= prefix,
     /root/reference/citygml/build-citygml.sh:37);
-  * AQE picks broadcast for the winner side of the anti-join when the
-    batch is small relative to the target;
-  * driver work is O(#touched buckets) (one small collect of bucket ids).
+  * driver work per batch is O(#touched buckets): two small collects
+    (bucket stats, lineage) and an O(buckets) manifest write — never
+    O(#events).
 """
 
 from __future__ import annotations
@@ -45,11 +64,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import StructType
 
-from ..icebox.table import LINEAGE_SCHEMA, IceboxTable
+from ..icebox.table import IceboxTable
 
 OP_RANK = {"insert": 0, "update": 1, "upsert": 2, "delete": 3}
 
 _META_COLS = {"lsn", "batch_id", "op"}
+
+# above this many deduped rows the batch stops being broadcastable and the
+# merge falls back to the shuffle plan (≈ a few hundred MB of token rows)
+BROADCAST_ROW_LIMIT = 2_000_000
 
 
 def _op_rank_col():
@@ -87,21 +110,35 @@ def normalize_events(events: DataFrame, table: IceboxTable) -> DataFrame:
     return df.select(*cols)
 
 
-def lww_dedup(events: DataFrame, key: str = "doc_id", n_salts: int = 16) -> DataFrame:
+def lww_dedup(
+    events: DataFrame,
+    key: str = "doc_id",
+    n_salts: int = 16,
+    strategy: str = "window",
+) -> DataFrame:
     """Deterministic last-writer-wins: one row per key.
 
-    Two-phase salted ranking (skew-proof):
+    strategy="window" — explicit two-phase salted ranking (skew-proof):
       phase 1: row_number over (key, salt) — salt = pmod(xxhash64(lsn), S)
                spreads a hot key's events across S window partitions;
       phase 2: row_number over (key) on the ≤S survivors per key.
+    strategy="agg" — max_by hash aggregate; Tungsten partial aggregation
+      performs phase 1 per map partition (no sort, one exchange). Same
+      result (tests/test_dedup_lww.py asserts equivalence).
     Order: lsn DESC, op_rank DESC (redelivery-safe tie-break).
     """
     rank = _op_rank_col()
+    if strategy == "agg":
+        payload = F.struct(*[F.col(c) for c in events.columns])
+        ordc = F.struct(F.col("lsn").alias("l"), rank.alias("r"))
+        return (
+            events.groupBy(key)
+            .agg(F.max_by(payload, ordc).alias("_w"))
+            .select("_w.*")
+        )
     if n_salts and n_salts > 1:
         salted = events.withColumn("_salt", F.pmod(F.xxhash64("lsn"), F.lit(n_salts)))
-        w1 = Window.partitionBy(key, "_salt").orderBy(
-            F.col("lsn").desc(), rank.desc()
-        )
+        w1 = Window.partitionBy(key, "_salt").orderBy(F.col("lsn").desc(), rank.desc())
         survivors = (
             salted.withColumn("_rn", F.row_number().over(w1))
             .filter(F.col("_rn") == 1)
@@ -123,12 +160,17 @@ def apply_batch(
     batch_id: int | str,
     n_salts: int = 16,
     tag_prefix: str = "batch",
+    dedup_strategy: str = "agg",
+    merge_strategy: str = "auto",
 ) -> IceboxTable:
     """Apply one change batch; returns the table at the new snapshot.
 
     Exactly-once: the commit is tagged `{tag_prefix}:{batch_id}`; if that
     tag is already committed the whole call is a no-op (idempotent replay
     from any checkpoint).
+
+    merge_strategy: "auto" broadcasts the deduped batch when it is small
+    enough (steady-state CDC), else shuffles; "join"/"shuffle" force.
     """
     tag = f"{tag_prefix}:{batch_id}"
     if table.has_tag(tag):
@@ -137,13 +179,25 @@ def apply_batch(
     key = table.key
     ev = normalize_events(events, table).persist()
     winners = None
+    ex = None
     try:
-        winners = lww_dedup(ev, key=key, n_salts=n_salts).withColumn(
-            "_b", table.bucket_of()
-        ).persist()
+        winners = (
+            lww_dedup(ev, key=key, n_salts=n_salts, strategy=dedup_strategy)
+            .withColumn("_b", table.bucket_of())
+            .persist()
+        )
 
-        # partition pruning: only buckets the batch touches are read/rewritten
-        touched = [r["_b"] for r in winners.select("_b").distinct().collect()]
+        # one small collect: touched buckets + per-bucket winner stats
+        # (partition pruning + lineage upsert counts + strategy choice)
+        bstats = (
+            winners.groupBy("_b")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("op") != "delete").cast("long")).alias("n_ups"),
+            )
+            .collect()
+        )
+        touched = [r["_b"] for r in bstats]
         if not touched:
             return table.commit_rewrite(
                 table.spark.createDataFrame([], _merged_schema(table)),
@@ -151,54 +205,147 @@ def apply_batch(
                 tag=tag,
                 summary={"operation": "merge", "events": 0},
             )
+        n_winners = sum(r["n"] for r in bstats)
+        if merge_strategy == "auto":
+            merge_strategy = "join" if n_winners <= BROADCAST_ROW_LIMIT else "shuffle"
 
         cols = [f.name for f in table.schema.fields]
         # target rows (incl. tombstones) of touched buckets only — the
-        # analog of the reference reading one cty= prefix
-        target = (
-            table.read(buckets=touched, internal=True)
-            .withColumn("_b", table.bucket_of())
-            .withColumn("_in", F.lit(0))
-        )
-        incoming = winners.select(
-            *cols,
-            "_b",
-            F.col("lsn").alias("_lsn"),
-            (F.col("op") == "delete").alias("_tombstone"),
-            F.lit(1).alias("_in"),
+        # analog of the reference reading one cty= prefix,
+        # /root/reference/citygml/build-citygml.sh:37
+        target = table.read(buckets=touched, internal=True)
+
+        # key-pruned probe: which winner keys already exist in the target
+        # (parquet column pruning → reads only key/_tombstone/_lsn).
+        # Feeds the additions anti-join and the rows_deleted counter.
+        probe = winners.select(key, "op", "_b")
+        if merge_strategy == "join":
+            probe = F.broadcast(probe)
+        ex = (
+            target.select(key, "_tombstone")
+            .join(probe, key, "inner")
+            .persist()
         )
 
-        # MERGE as LWW across target ∪ batch, keyed on (_lsn, _in):
-        # order-independent across micro-batches — a late-arriving older
-        # event can never clobber newer state, and a retained tombstone
-        # blocks resurrection. Single-shuffle plan: repartition by bucket,
-        # then window over (_b, key) needs no further exchange (hash(_b)
-        # clusters (_b, key)), and neither does the partitionBy(_b) write.
-        merged_all = target.unionByName(incoming).repartition(
-            max(len(touched), 1), "_b"
-        )
-        w = Window.partitionBy("_b", key).orderBy(
-            F.col("_lsn").desc(), F.col("_in").desc()
-        )
-        merged = (
-            merged_all.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_in")
-        )
+        if merge_strategy == "join":
+            merged = _merge_join(table, target, winners, ex, cols)
+            repartition = False  # preserves the target scan's bucket layout
+        else:
+            merged = _merge_shuffle(table, target, winners, cols, len(touched))
+            repartition = False  # _merge_shuffle repartitions itself
 
-        lineage = _lineage(table, ev, winners, target, batch_id)
+        lineage = _lineage_rows(table, ev, bstats, ex, batch_id)
         return table.commit_rewrite(
             merged,
             touched,
             tag=tag,
             lineage=lineage,
-            summary={"operation": "merge", "touched_buckets": len(touched)},
-            repartition=False,
+            summary={
+                "operation": "merge",
+                "strategy": merge_strategy,
+                "touched_buckets": len(touched),
+                "winners": n_winners,
+            },
+            repartition=repartition,
         )
     finally:
         ev.unpersist()
         if winners is not None:
             winners.unpersist()
+        if ex is not None:
+            ex.unpersist()
+
+
+def _merge_join(
+    table: IceboxTable,
+    target: DataFrame,
+    winners: DataFrame,
+    ex: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Broadcast copy-on-write merge: the target (big side) streams through
+    a broadcast hash join with NO exchange and NO sort — rows stay in the
+    bucket-dir layout they were scanned in, so the partitioned write needs
+    no repartition either. The per-key LWW decision (take the incoming
+    winner iff its lsn >= the stored row's _lsn; ties prefer incoming,
+    matching the shuffle plan's `_in DESC` tie-break) happens row-side.
+    """
+    key = table.key
+    wpref = F.broadcast(
+        winners.select(
+            F.col(key),
+            F.col("lsn").alias("_w_lsn"),
+            (F.col("op") == "delete").alias("_w_tomb"),
+            *[F.col(c).alias(f"_w_{c}") for c in cols if c != key],
+        )
+    )
+    joined = target.withColumn("_b", table.bucket_of()).join(wpref, key, "left")
+    take_w = F.col("_w_lsn").isNotNull() & (F.col("_w_lsn") >= F.col("_lsn"))
+    resolved = joined.select(
+        "_b",
+        F.col(key),
+        *[
+            F.when(take_w, F.col(f"_w_{c}")).otherwise(F.col(c)).alias(c)
+            for c in cols
+            if c != key
+        ],
+        F.when(take_w, F.col("_w_lsn")).otherwise(F.col("_lsn")).alias("_lsn"),
+        F.when(take_w, F.col("_w_tomb")).otherwise(F.col("_tombstone")).alias(
+            "_tombstone"
+        ),
+    )
+    # winners whose key is absent from the target: brand-new rows (and
+    # tombstones for never-seen keys, kept to block late older events).
+    # Repartitioned by bucket — additions otherwise sit in the batch's
+    # arbitrary partitioning and the dynamic-partition writer would emit
+    # (#tasks × #buckets) tiny files; this shuffle moves only the small
+    # additions set, never the target.
+    additions = (
+        winners.join(F.broadcast(ex.select(key)), key, "left_anti")
+        .select(
+            "_b",
+            F.col(key),
+            *[F.col(c) for c in cols if c != key],
+            F.col("lsn").alias("_lsn"),
+            (F.col("op") == "delete").alias("_tombstone"),
+        )
+        .repartition(table.n_buckets, "_b")
+    )
+    return resolved.unionByName(additions)
+
+
+def _merge_shuffle(
+    table: IceboxTable,
+    target: DataFrame,
+    winners: DataFrame,
+    cols: list[str],
+    n_touched: int,
+) -> DataFrame:
+    """Shuffle merge for batches too big to broadcast: LWW across
+    target ∪ batch keyed on (_lsn, _in). Single-exchange plan: repartition
+    by bucket, then the window over (_b, key) needs no further exchange
+    (hash(_b) clusters (_b, key)), and neither does the partitionBy(_b)
+    write — the window's sort doubles as the write's clustering sort.
+    """
+    key = table.key
+    t = (
+        target.withColumn("_b", table.bucket_of())
+        .withColumn("_in", F.lit(0))
+    )
+    incoming = winners.select(
+        *cols,
+        "_b",
+        F.col("lsn").alias("_lsn"),
+        (F.col("op") == "delete").alias("_tombstone"),
+        F.lit(1).alias("_in"),
+    )
+    merged_all = t.unionByName(incoming).repartition(max(n_touched, 1), "_b")
+    w = Window.partitionBy("_b", key).orderBy(F.col("_lsn").desc(), F.col("_in").desc())
+    return (
+        merged_all.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_in")
+    )
 
 
 def _merged_schema(table: IceboxTable) -> StructType:
@@ -206,58 +353,55 @@ def _merged_schema(table: IceboxTable) -> StructType:
     return StructType([*s.fields]).add("_b", "int")
 
 
-def _lineage(
+def _lineage_rows(
     table: IceboxTable,
     ev: DataFrame,
-    winners: DataFrame,
-    target: DataFrame,
+    bstats: list,
+    ex: DataFrame,
     batch_id: int | str,
-) -> DataFrame:
+) -> list[tuple]:
     """Per-bucket lineage metrics (events applied, upserts, deletes that
-    actually removed a row, LSN watermark) — the engine's version of the
+    removed a live row, LSN watermark) — the engine's version of the
     reference's per-run counters
     (/root/reference/grid-and-attrs/app.js:136-141,171-177), computed
-    distributed and committed atomically with the data."""
-    key = table.key
+    distributed over the cached batch + key-pruned probe, then committed
+    atomically with the data as plain rows (driver cost O(#buckets))."""
     bid = int(batch_id) if str(batch_id).lstrip("-").isdigit() else -1
 
-    raw = ev.withColumn("_b", table.bucket_of()).groupBy("_b").agg(
-        F.count(F.lit(1)).alias("events_applied"),
-        F.max("lsn").alias("lsn_watermark"),
-    )
-    ups = (
-        winners.filter(F.col("op") != "delete")
+    raw = (
+        ev.withColumn("_b", table.bucket_of())
         .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("rows_upserted"))
+        .agg(
+            F.count(F.lit(1)).alias("events_applied"),
+            F.max("lsn").alias("lsn_watermark"),
+        )
     )
-    live_keys = target.filter(
-        ~F.coalesce(F.col("_tombstone"), F.lit(False))
-    ).select(key)
     dels = (
-        winners.filter(F.col("op") == "delete")
-        .join(live_keys, on=key, how="left_semi")
+        ex.filter((F.col("op") == "delete") & ~F.coalesce("_tombstone", F.lit(False)))
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("rows_deleted"))
     )
-    out = (
-        raw.join(ups, "_b", "left")
-        .join(dels, "_b", "left")
-        .select(
-            F.lit(bid).cast("int").alias("batch_id"),
-            F.col("_b").cast("int").alias("partition_id"),
-            F.col("events_applied").cast("long"),
-            F.coalesce("rows_upserted", F.lit(0)).cast("long").alias("rows_upserted"),
-            F.coalesce("rows_deleted", F.lit(0)).cast("long").alias("rows_deleted"),
-            F.col("lsn_watermark").cast("long"),
+    out = raw.join(dels, "_b", "left").collect()
+    ups_by_b = {r["_b"]: r["n_ups"] for r in bstats}
+    return [
+        (
+            bid,
+            int(r["_b"]),
+            int(r["events_applied"]),
+            int(ups_by_b.get(r["_b"], 0)),
+            int(r["rows_deleted"] or 0),
+            int(r["lsn_watermark"]),
         )
-    )
-    return table.spark.createDataFrame(out.collect(), LINEAGE_SCHEMA)
+        for r in out
+    ]
 
 
 def replay_log(
     table: IceboxTable,
     log: DataFrame,
     n_salts: int = 16,
+    dedup_strategy: str = "agg",
+    merge_strategy: str = "auto",
 ) -> IceboxTable:
     """Batch-mode replay: apply the log's batches in batch_id order.
 
@@ -269,5 +413,12 @@ def replay_log(
         r["batch_id"] for r in log.select("batch_id").distinct().collect()
     )
     for b in batch_ids:
-        table = apply_batch(table, log.filter(F.col("batch_id") == b), b, n_salts=n_salts)
+        table = apply_batch(
+            table,
+            log.filter(F.col("batch_id") == b),
+            b,
+            n_salts=n_salts,
+            dedup_strategy=dedup_strategy,
+            merge_strategy=merge_strategy,
+        )
     return table

@@ -239,7 +239,7 @@ class IceboxTable:
         merged: DataFrame,
         touched_buckets: list[int],
         tag: str | None = None,
-        lineage: DataFrame | None = None,
+        lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
         repartition: bool = True,
     ) -> "IceboxTable":
@@ -296,10 +296,10 @@ class IceboxTable:
 
         lineage_paths = list(self.manifest["lineage_paths"])
         if lineage is not None:
+            if isinstance(lineage, DataFrame):
+                lineage = [tuple(r) for r in lineage.collect()]
             lin_rel = os.path.join(snap_rel, "lineage")
-            lineage.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.root, lin_rel)
-            )
+            _write_lineage_local(os.path.join(self.root, lin_rel), lineage)
             lineage_paths.append(lin_rel)
 
         manifest = {
@@ -351,6 +351,31 @@ LINEAGE_SCHEMA = StructType(
         StructField("lsn_watermark", LongType()),
     ]
 )
+
+
+def _write_lineage_local(dir_path: str, rows: list[tuple]) -> None:
+    """Lineage is O(#buckets) rows — write it driver-side with pyarrow
+    (a Spark job for a 64-row file costs seconds of fixed overhead).
+    Read back by read_lineage with LINEAGE_SCHEMA (types match)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("batch_id", pa.int32()),
+            ("partition_id", pa.int32()),
+            ("events_applied", pa.int64()),
+            ("rows_upserted", pa.int64()),
+            ("rows_deleted", pa.int64()),
+            ("lsn_watermark", pa.int64()),
+        ]
+    )
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    t = pa.Table.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(cols, schema)], schema=schema
+    )
+    os.makedirs(dir_path, exist_ok=True)
+    pq.write_table(t, os.path.join(dir_path, "lineage.parquet"))
 
 
 def _conform(df: DataFrame, target: StructType) -> DataFrame:
