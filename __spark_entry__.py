@@ -254,13 +254,13 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(
         (F.col("p_size").between(10, 20))
         & (F.col("p_type").isin("ECONOMY", "PROMO"))
-        & (F.col("p_retailprice") > 1200.0)
+        & (F.col("p_retailprice") > 950.0)
     ).select("p_partkey", "p_name", "p_retailprice")
 
 
 _SQL_FILTER_PROJECT = """
 SELECT p_partkey, p_name, p_retailprice FROM part
-WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('ECONOMY','PROMO') AND p_retailprice > 1200.0
+WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('ECONOMY','PROMO') AND p_retailprice > 950.0
 """
 
 
@@ -319,9 +319,10 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 left-anti (the reference's collisions-removal composition,
-    resolve-footprints.scala:180-183, as the built-in join type)."""
+    resolve-footprints.scala:180-183, as the built-in join type):
+    customers with no high-value order."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
@@ -329,7 +330,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ANTI_JOIN = """
 SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 """
 
 
@@ -681,6 +682,242 @@ FROM documents
 """
 
 
+def q_source_precedence_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+O3: the reference's multi-source fold (master source wins,
+    resolve-footprints.scala:121-188) — per candidate bucket, keep the
+    row from the highest-priority source (priority = src number, then
+    doc_id — a deterministic total order, unlike the reference)."""
+    d = _t(spark, sf_dir, "documents")
+    prio = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    bucket = F.concat_ws(
+        ":", "lang", F.floor(F.col("n_chars") / 8).cast("int").cast("string")
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("prio"), F.col("doc_id"))
+    return (
+        d.withColumn("prio", prio)
+        .withColumn("bucket", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "bucket",
+            F.col("doc_id").alias("kept_id"),
+            F.col("source").alias("kept_source"),
+        )
+    )
+
+
+_SQL_SOURCE_PRECEDENCE_FOLD = """
+SELECT bucket, doc_id AS kept_id, source AS kept_source FROM (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY prio, doc_id) rn
+  FROM (SELECT doc_id, source,
+               CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS prio,
+               lang || ':' || CAST(CAST(n_chars // 8 AS INT) AS VARCHAR) AS bucket
+        FROM documents))
+WHERE rn = 1
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27 UDTF shape (1 row → N rows, citygml FootprintExtruder.java:19-49
+    is the reference's only generator op): split each document into fixed
+    128-char training chunks via explode(transform(sequence))."""
+    d = _t(spark, sf_dir, "documents")
+    n = 128
+    idx = F.sequence(F.lit(0), F.floor((F.length("text") - 1) / n).cast("int"))
+    chunks = F.when(
+        F.length("text") > 0,
+        F.transform(idx, lambda i: F.substring(F.col("text"), i * n + 1, n)),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length("chunk").alias("chunk_len"),
+            F.substring("chunk", 1, 16).alias("chunk_head"),
+        )
+    )
+
+
+_SQL_DOC_CHUNKS = """
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(length(substr(text, CAST(i*128+1 AS INT), 128)) AS INT) AS chunk_len,
+       substr(text, CAST(i*128+1 AS INT), 16) AS chunk_head
+FROM documents, range(0, 100000) t(i)
+WHERE i <= floor((length(text) - 1) / 128)
+"""
+
+
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 aggregate-over-array HOFs (the reference's bounds/centroid
+    over coordinate arrays, footprint.js:106-110,127-129): per-vector
+    min / max / mean / L2 norm, all via F.aggregate / array HOFs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    s = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    return emb.select(
+        "vec_id",
+        F.round(F.array_min(v), 6).alias("v_min"),
+        F.round(F.array_max(v), 6).alias("v_max"),
+        F.round(s / F.size(v), 6).alias("v_mean"),
+        F.round(F.sqrt(s2), 6).alias("l2_norm"),
+    )
+
+
+_SQL_EMBED_STATS = """
+SELECT vec_id,
+       round(list_min(ve), 6) AS v_min,
+       round(list_max(ve), 6) AS v_max,
+       round(list_sum(ve) / length(ve), 6) AS v_mean,
+       round(sqrt(list_sum(list_transform(ve, x -> x*x))), 6) AS l2_norm
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 JSON parse with pinned path (the reference's per-line
+    JSON.parse, grid-and-attrs/app.js:151): extract props.k, aggregate
+    per event_type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_self_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: bucketed equi self-join (user_id as the bucket key — the
+    reference's grid-cell pairing, resolve-footprints.scala:135-168) with
+    a theta band post-filter (its haversine distance band, :126): pairs
+    of events by the same user within an event_id band of 50."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.event_id") - F.col("a.event_id") <= 50)
+        )
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(F.abs(F.col("a.value") - F.col("b.value"))), 4).alias(
+            "sum_dv"
+        ),
+    )
+
+
+_SQL_SELF_BAND_JOIN = """
+SELECT a.user_id AS user_id, count(*) AS n_pairs,
+       round(sum(abs(a.value - b.value)), 4) AS sum_dv
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_id < b.event_id AND b.event_id - a.event_id <= 50
+GROUP BY a.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# vectorized token-array ops (operators/tokens.py) over a portable
+# self-generated token table (DuckDB rebuilds it bit-for-bit)
+
+from data_pipeline_spark.gen import gen_token_docs_portable, token_docs_sql
+from data_pipeline_spark.operators import tokens as TK
+
+_N_TOKDOCS = 800
+
+
+def _tok_docs(spark: SparkSession) -> DataFrame:
+    return gen_token_docs_portable(spark, _N_TOKDOCS)
+
+
+def q_tok_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24 parity (duplicate-vertex repair, grid-and-attrs/repair.js:11-30):
+    collapse consecutive duplicate tokens, pure HOFs."""
+    d = TK.repair_tokens(_tok_docs(spark))
+    return d.select(
+        "doc_id",
+        F.col("tokens_repaired").alias("tokens"),
+        F.size("tokens_repaired").cast("int").alias("n_tok"),
+    )
+
+
+def _sql_tok_repair() -> str:
+    return f"""
+WITH td AS ({token_docs_sql(_N_TOKDOCS)})
+SELECT doc_id,
+  [tokens[i] for i in range(1, n_tok + 1) if i = 1 OR tokens[i] != tokens[i-1]] AS tokens,
+  CAST(length([tokens[i] for i in range(1, n_tok + 1) if i = 1 OR tokens[i] != tokens[i-1]]) AS INT) AS n_tok
+FROM td
+"""
+
+
+def q_tok_truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length normalization: truncate to 16 / right-pad with 0."""
+    d = TK.truncate_pad(_tok_docs(spark), max_len=16)
+    return d.select("doc_id", F.col("tokens_fixed").alias("tokens"))
+
+
+def _sql_tok_truncate_pad() -> str:
+    return f"""
+WITH td AS ({token_docs_sql(_N_TOKDOCS)})
+SELECT doc_id,
+  list_concat(tokens[1:16],
+              [CAST(0 AS INT) for j in range(0, 16 - least(n_tok, 16))]) AS tokens
+FROM td
+"""
+
+
+def q_tok_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary stats: global token frequency (explode + map-side
+    combine), restricted to tokens seen more than once."""
+    h = TK.token_histogram(_tok_docs(spark))
+    return h.filter(F.col("n") > 1).select(F.col("token").cast("int"), "n")
+
+
+def _sql_tok_histogram() -> str:
+    return f"""
+WITH td AS ({token_docs_sql(_N_TOKDOCS)})
+SELECT CAST(t AS INT) AS token, count(*) AS n
+FROM (SELECT unnest(tokens) AS t FROM td) GROUP BY t HAVING count(*) > 1
+"""
+
+
+def q_tok_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk, per source, doc_id order) via
+    Arrow-batched applyInPandas — the engine's one pandas-UDF hot path."""
+    return TK.pack_sequences(_tok_docs(spark), seq_len=64)
+
+
+def _sql_tok_pack() -> str:
+    return f"""
+WITH td AS ({token_docs_sql(_N_TOKDOCS)}),
+g AS (SELECT source, flatten(list(tokens ORDER BY doc_id)) AS ft FROM td GROUP BY source)
+SELECT source, CAST(i AS BIGINT) AS chunk_id,
+       ft[i*64+1 : (i+1)*64] AS tokens,
+       CAST(length(ft[i*64+1 : (i+1)*64]) AS INT) AS n_tok
+FROM g, range(0, 100000) t(i)
+WHERE i*64 < length(ft)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -713,6 +950,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "source_precedence_fold": q_source_precedence_fold,
+        "doc_chunks": q_doc_chunks,
+        "embed_stats": q_embed_stats,
+        "json_props": q_json_props,
+        "self_band_join": q_self_band_join,
+        "tok_repair": q_tok_repair,
+        "tok_truncate_pad": q_tok_truncate_pad,
+        "tok_histogram": q_tok_histogram,
+        "tok_pack": q_tok_pack,
     }
 
 
@@ -744,4 +990,13 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprint": _sql_text_fingerprint(),
         "multimodal_meta": _SQL_MULTIMODAL_META,
+        "source_precedence_fold": _SQL_SOURCE_PRECEDENCE_FOLD,
+        "doc_chunks": _SQL_DOC_CHUNKS,
+        "embed_stats": _SQL_EMBED_STATS,
+        "json_props": _SQL_JSON_PROPS,
+        "self_band_join": _SQL_SELF_BAND_JOIN,
+        "tok_repair": _sql_tok_repair(),
+        "tok_truncate_pad": _sql_tok_truncate_pad(),
+        "tok_histogram": _sql_tok_histogram(),
+        "tok_pack": _sql_tok_pack(),
     }

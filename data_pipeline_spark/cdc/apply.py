@@ -71,8 +71,12 @@ OP_RANK = {"insert": 0, "update": 1, "upsert": 2, "delete": 3}
 _META_COLS = {"lsn", "batch_id", "op"}
 
 # above this many deduped rows the batch stops being broadcastable and the
-# merge falls back to the shuffle plan (≈ a few hundred MB of token rows)
-BROADCAST_ROW_LIMIT = 2_000_000
+# merge falls back to the shuffle plan (≈ ~100 MB of token rows); the
+# broadcast build is serial driver work, so it must stay small
+BROADCAST_ROW_LIMIT = 500_000
+# the join plan only pays off when the batch is small relative to the
+# table — otherwise shuffling both sides scales better with cores
+JOIN_TABLE_RATIO = 4
 
 
 def _op_rank_col():
@@ -187,17 +191,49 @@ def apply_batch(
             .persist()
         )
 
-        # one small collect: touched buckets + per-bucket winner stats
-        # (partition pruning + lineage upsert counts + strategy choice)
-        bstats = (
-            winners.groupBy("_b")
+        # key-pruned existence probe: which winner keys already exist in
+        # the target (parquet column pruning → reads only
+        # key/_tombstone). Feeds the additions anti-join and the
+        # rows_deleted counter. AQE broadcasts the small winner side.
+        ex = (
+            table.read(internal=True)
+            .select(key, "_tombstone")
+            .join(winners.select(key, "op", "_b"), key, "inner")
+            .persist()
+        )
+
+        # ONE driver collect per batch: per-bucket event counts + LSN
+        # watermarks (from raw events), winner/upsert counts (dedup
+        # output — also the touched-bucket set for partition pruning and
+        # the merge-strategy choice), and live-delete counts (probe).
+        stats = (
+            ev.withColumn("_b", table.bucket_of())
+            .groupBy("_b")
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum((F.col("op") != "delete").cast("long")).alias("n_ups"),
+                F.count(F.lit(1)).alias("events_applied"),
+                F.max("lsn").alias("lsn_watermark"),
+            )
+            .join(
+                winners.groupBy("_b").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("op") != "delete").cast("long")).alias("n_ups"),
+                ),
+                "_b",
+                "full",
+            )
+            .join(
+                ex.filter(
+                    (F.col("op") == "delete")
+                    & ~F.coalesce("_tombstone", F.lit(False))
+                )
+                .groupBy("_b")
+                .agg(F.count(F.lit(1)).alias("n_dels")),
+                "_b",
+                "left",
             )
             .collect()
         )
-        touched = [r["_b"] for r in bstats]
+        touched = [r["_b"] for r in stats if r["n"]]
         if not touched:
             return table.commit_rewrite(
                 table.spark.createDataFrame([], _merged_schema(table)),
@@ -205,27 +241,17 @@ def apply_batch(
                 tag=tag,
                 summary={"operation": "merge", "events": 0},
             )
-        n_winners = sum(r["n"] for r in bstats)
+        n_winners = sum(r["n"] or 0 for r in stats)
         if merge_strategy == "auto":
-            merge_strategy = "join" if n_winners <= BROADCAST_ROW_LIMIT else "shuffle"
+            small_batch = n_winners <= BROADCAST_ROW_LIMIT
+            vs_table = table.total_rows >= JOIN_TABLE_RATIO * n_winners
+            merge_strategy = "join" if (small_batch and vs_table) else "shuffle"
 
         cols = [f.name for f in table.schema.fields]
         # target rows (incl. tombstones) of touched buckets only — the
         # analog of the reference reading one cty= prefix,
         # /root/reference/citygml/build-citygml.sh:37
         target = table.read(buckets=touched, internal=True)
-
-        # key-pruned probe: which winner keys already exist in the target
-        # (parquet column pruning → reads only key/_tombstone/_lsn).
-        # Feeds the additions anti-join and the rows_deleted counter.
-        probe = winners.select(key, "op", "_b")
-        if merge_strategy == "join":
-            probe = F.broadcast(probe)
-        ex = (
-            target.select(key, "_tombstone")
-            .join(probe, key, "inner")
-            .persist()
-        )
 
         if merge_strategy == "join":
             merged = _merge_join(table, target, winners, ex, cols)
@@ -234,7 +260,18 @@ def apply_batch(
             merged = _merge_shuffle(table, target, winners, cols, len(touched))
             repartition = False  # _merge_shuffle repartitions itself
 
-        lineage = _lineage_rows(table, ev, bstats, ex, batch_id)
+        bid = int(batch_id) if str(batch_id).lstrip("-").isdigit() else -1
+        lineage = [
+            (
+                bid,
+                int(r["_b"]),
+                int(r["events_applied"]),
+                int(r["n_ups"] or 0),
+                int(r["n_dels"] or 0),
+                int(r["lsn_watermark"]),
+            )
+            for r in stats
+        ]
         return table.commit_rewrite(
             merged,
             touched,
@@ -351,49 +388,6 @@ def _merge_shuffle(
 def _merged_schema(table: IceboxTable) -> StructType:
     s = StructType([f for f in table.schema.fields])
     return StructType([*s.fields]).add("_b", "int")
-
-
-def _lineage_rows(
-    table: IceboxTable,
-    ev: DataFrame,
-    bstats: list,
-    ex: DataFrame,
-    batch_id: int | str,
-) -> list[tuple]:
-    """Per-bucket lineage metrics (events applied, upserts, deletes that
-    removed a live row, LSN watermark) — the engine's version of the
-    reference's per-run counters
-    (/root/reference/grid-and-attrs/app.js:136-141,171-177), computed
-    distributed over the cached batch + key-pruned probe, then committed
-    atomically with the data as plain rows (driver cost O(#buckets))."""
-    bid = int(batch_id) if str(batch_id).lstrip("-").isdigit() else -1
-
-    raw = (
-        ev.withColumn("_b", table.bucket_of())
-        .groupBy("_b")
-        .agg(
-            F.count(F.lit(1)).alias("events_applied"),
-            F.max("lsn").alias("lsn_watermark"),
-        )
-    )
-    dels = (
-        ex.filter((F.col("op") == "delete") & ~F.coalesce("_tombstone", F.lit(False)))
-        .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("rows_deleted"))
-    )
-    out = raw.join(dels, "_b", "left").collect()
-    ups_by_b = {r["_b"]: r["n_ups"] for r in bstats}
-    return [
-        (
-            bid,
-            int(r["_b"]),
-            int(r["events_applied"]),
-            int(ups_by_b.get(r["_b"], 0)),
-            int(r["rows_deleted"] or 0),
-            int(r["lsn_watermark"]),
-        )
-        for r in out
-    ]
 
 
 def replay_log(

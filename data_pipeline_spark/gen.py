@@ -201,6 +201,48 @@ def gen_event_log_portable(
     )
 
 
+def gen_token_docs_portable(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Portable tokenized-doc table (doc_id, tokens, n_tok, source) —
+    pure f(ordinal) via h64, regenerable bit-for-bit by DuckDB
+    (token_docs_sql). Token stream deliberately contains consecutive
+    duplicates (token j depends on j//2) so repair ops have work to do."""
+    df = spark.range(0, n_docs, 1, spark.sparkContext.defaultParallelism)
+    length = (h64(_lsn_str(), salt="len") % (P_MAX_LEN - P_MIN_LEN + 1) + P_MIN_LEN).cast(
+        "int"
+    )
+    tokens = F.transform(
+        F.sequence(F.lit(0), length - F.lit(1)),
+        lambda j: (h64(_lsn_str(F.floor(j / 2)), salt="tok") % VOCAB).cast("int"),
+    )
+    source = F.element_at(
+        F.array(*[F.lit(s) for s in SOURCES]),
+        (h64(_lsn_str(), salt="src") % len(SOURCES) + 1).cast("int"),
+    )
+    return df.select(
+        F.format_string("doc_%06d", F.col("id")).alias("doc_id"),
+        tokens.alias("tokens"),
+        length.alias("n_tok"),
+        source.alias("source"),
+    )
+
+
+def token_docs_sql(n_docs: int) -> str:
+    """DuckDB query body producing the IDENTICAL table (name it `td`)."""
+    ls = "CAST(i AS VARCHAR)"
+    length = f"({h64_sql(ls, salt='len')} % {P_MAX_LEN - P_MIN_LEN + 1} + {P_MIN_LEN})"
+    tok_j = h64_sql(
+        "CAST(i AS VARCHAR) || ':' || CAST((j // 2) AS VARCHAR)", salt="tok"
+    )
+    src = f"['web','books','code','wiki'][CAST({h64_sql(ls, salt='src')} % 4 + 1 AS INT)]"
+    return f"""
+    SELECT printf('doc_%06d', i) AS doc_id,
+           [CAST({tok_j} % {VOCAB} AS INT) for j in range(0, {length})] AS tokens,
+           CAST({length} AS INT) AS n_tok,
+           {src} AS source
+    FROM range(0, {n_docs}) t(i)
+    """
+
+
 def portable_event_log_sql(
     n_events: int, n_docs: int, batch_size: int = 1000, hot_pct: int = 0
 ) -> str:

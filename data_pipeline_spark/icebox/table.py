@@ -144,6 +144,13 @@ class IceboxTable:
     def has_tag(self, tag: str) -> bool:
         return tag in self.manifest["committed_tags"]
 
+    @property
+    def total_rows(self) -> int:
+        """Physical row count (incl. tombstones) from bucket metadata;
+        0 for pre-row-tracking manifests (heuristics treat that as
+        'unknown, assume small')."""
+        return sum(e.get("rows", 0) for e in self.manifest["buckets"].values())
+
     def bucket_of(self):
         return bucket_expr(self.n_buckets, self.key)
 
@@ -287,9 +294,14 @@ class IceboxTable:
         cur_sid = self.manifest["current_schema_id"]
         for b in touched_buckets:
             if b in written:
+                bdir = os.path.join(snap_abs, f"_b={b}")
                 new_buckets[str(b)] = {
                     "path": os.path.join(snap_rel, f"_b={b}"),
                     "schema_id": cur_sid,
+                    # row count from parquet footers (driver O(#files),
+                    # footer-only reads) — feeds the merge-strategy
+                    # heuristic (batch size vs table size)
+                    "rows": _parquet_rows(bdir),
                 }
             else:
                 new_buckets.pop(str(b), None)  # bucket emptied by deletes
@@ -314,6 +326,46 @@ class IceboxTable:
         }
         self._write_manifest(manifest)
         return IceboxTable(self.spark, self.root, manifest)
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Iceberg-style maintenance: drop manifests older than the last
+        `keep_last` snapshots and delete data directories no kept
+        manifest references (copy-on-write carries old dirs forward, so
+        the reference set is the union over KEPT manifests, not just the
+        current one). Tags survive — `committed_tags` is cumulative in
+        every manifest, so exactly-once replay detection is unaffected.
+
+        Returns {"removed_dirs": n, "removed_manifests": m}.
+        """
+        import shutil
+
+        meta_dir = os.path.join(self.root, "metadata")
+        snaps = sorted(
+            int(f[5:13])
+            for f in os.listdir(meta_dir)
+            if f.startswith("snap-") and f.endswith(".json")
+        )
+        keep_ids = set(snaps[-keep_last:]) | {self.snapshot_id}
+        referenced: set[str] = set()
+        for sid in keep_ids:
+            with open(os.path.join(meta_dir, f"snap-{sid:08d}.json")) as f:
+                m = json.load(f)
+            for e in m["buckets"].values():
+                referenced.add(e["path"].split(os.sep)[1])  # data/<dir>/_b=k
+            for p in m["lineage_paths"]:
+                referenced.add(p.split(os.sep)[1])
+        data_dir = os.path.join(self.root, "data")
+        removed_dirs = 0
+        for d in os.listdir(data_dir):
+            if d not in referenced:
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+                removed_dirs += 1
+        removed_manifests = 0
+        for sid in snaps:
+            if sid not in keep_ids:
+                os.remove(os.path.join(meta_dir, f"snap-{sid:08d}.json"))
+                removed_manifests += 1
+        return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}
 
     def overwrite_all(self, df: DataFrame, tag: str | None = None) -> "IceboxTable":
         """Full rewrite of every bucket (initial load path)."""
@@ -351,6 +403,16 @@ LINEAGE_SCHEMA = StructType(
         StructField("lsn_watermark", LongType()),
     ]
 )
+
+
+def _parquet_rows(bucket_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in os.listdir(bucket_dir):
+        if f.endswith(".parquet"):
+            n += pq.read_metadata(os.path.join(bucket_dir, f)).num_rows
+    return n
 
 
 def _write_lineage_local(dir_path: str, rows: list[tuple]) -> None:

@@ -1,0 +1,157 @@
+"""Vectorized token-array operators (the engine's payload type:
+tokens array<int32>).
+
+The hot path stays JVM-side: higher-order functions (transform / filter /
+slice / aggregate) over the array column — whole-stage codegen, zero
+Python. The one op that genuinely needs imperative carry state across
+rows — packing documents into fixed-length training sequences — uses
+Arrow-batched applyInPandas (vectorized; never per-row Python), per the
+BASELINE input_hint.
+
+Reference parity:
+  * repair_tokens ≙ duplicate-vertex repair (collapse consecutive equal
+    points in a ring, /root/reference/grid-and-attrs/repair.js:11-30);
+  * truncate_pad ≙ unit normalization (ft→m clamp,
+    /root/reference/data-prep/LARIAC4-2014/transform.js:46-53);
+  * token_histogram ≙ the per-category counters
+    (/root/reference/grid-and-attrs/app.js:136-141);
+  * pack_sequences ≙ the chunked sink (40k buildings per output file,
+    /root/reference/citygml/src/main/java/org/opencitymodel/citygml/Main.java:84-86)
+    — a row-order-dependent re-blocking of the stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+PAD_ID = 0
+
+
+def repair_tokens(
+    df: DataFrame, tok_col: str = "tokens", out_col: str = "tokens_repaired"
+) -> DataFrame:
+    """Collapse consecutive duplicate tokens (keep the first of each run).
+
+    Pure HOF: keep element i iff i == 0 or t[i] != t[i-1]. Implemented by
+    filtering the index sequence then projecting — no UDF, no explode.
+    """
+    t = F.col(tok_col)
+    idx = F.sequence(F.lit(1), F.size(t))
+    keep = F.filter(
+        idx, lambda i: (i == 1) | (F.element_at(t, i) != F.element_at(t, i - 1))
+    )
+    repaired = F.transform(keep, lambda i: F.element_at(t, i))
+    # size==0 guard: sequence(1, 0) DESCENDS in Spark, which would probe
+    # element_at out of bounds (an error under ANSI mode)
+    return df.withColumn(
+        out_col,
+        F.when(t.isNull(), F.lit(None))
+        .when(F.size(t) == 0, t)
+        .otherwise(repaired),
+    )
+
+
+def truncate_pad(
+    df: DataFrame,
+    max_len: int,
+    tok_col: str = "tokens",
+    out_col: str = "tokens_fixed",
+    pad_id: int = PAD_ID,
+) -> DataFrame:
+    """Truncate to max_len / right-pad with pad_id to exactly max_len."""
+    t = F.col(tok_col)
+    cut = F.slice(t, 1, max_len)
+    pad = F.array_repeat(
+        F.lit(pad_id).cast("int"), (F.lit(max_len) - F.size(cut)).cast("int")
+    )
+    return df.withColumn(
+        out_col, F.when(t.isNull(), F.lit(None)).otherwise(F.concat(cut, pad))
+    )
+
+
+def token_histogram(df: DataFrame, tok_col: str = "tokens") -> DataFrame:
+    """Global token frequency: (token, n). Explode + map-side-combined
+    count — the canonical vocabulary-stats pass."""
+    return (
+        df.select(F.explode(tok_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing, per group: concatenate all
+    token arrays in id order, split into fixed seq_len chunks (last
+    partial chunk kept). Output: (group, chunk_id, tokens, n_tok).
+
+    Packing has carry state across rows (a doc may straddle a chunk
+    boundary), so each group is processed as ONE Arrow batch via
+    applyInPandas — vectorized numpy concat/reshape inside, no per-row
+    Python. Groups shuffle-partition by group_col; a group's token total
+    must fit an executor (callers choose group granularity — the same
+    contract as any groupBy).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, chunk_id long, tokens array<int>, n_tok int"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        arrs = [np.asarray(a, dtype=np.int64) for a in pdf[tok_col] if a is not None]
+        if not arrs:
+            return pd.DataFrame(
+                {group_col: [], "chunk_id": [], "tokens": [], "n_tok": []}
+            )
+        flat = np.concatenate(arrs)
+        chunks = [
+            flat[i : i + seq_len].astype("int32")
+            for i in range(0, len(flat), seq_len)
+        ]
+        g = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(chunks),
+                "chunk_id": np.arange(len(chunks), dtype="int64"),
+                "tokens": chunks,
+                "n_tok": np.array([len(c) for c in chunks], dtype="int32"),
+            }
+        )
+
+    return df.select(group_col, id_col, tok_col).groupBy(group_col).applyInPandas(
+        _pack, schema=out_schema
+    )
+
+
+def mean_token(df: DataFrame, tok_col: str = "tokens") -> DataFrame:
+    """Per-row mean token id (A7 centroid analog) via aggregate HOF."""
+    t = F.col(tok_col)
+    s = F.aggregate(t, F.lit(0.0), lambda a, x: a + x)
+    return df.withColumn(
+        "mean_token",
+        F.when(F.size(t) > 0, F.round(s / F.size(t), 6)),
+    )
+
+
+def ngram_stream(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", tok_col: str = "tokens"
+) -> DataFrame:
+    """Token n-grams per doc as array<array<int>> (training-data n-gram
+    features) — windowed slices via transform over an index sequence."""
+    t = F.col(tok_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(0)))
+    grams = F.when(F.size(t) >= n, F.transform(idx, lambda i: F.slice(t, i, n))).otherwise(
+        F.array().cast("array<array<int>>")
+    )
+    return df.select(F.col(id_col), grams.alias("ngrams"))

@@ -128,3 +128,28 @@ def test_manifest_is_self_contained(spark, tdir):
     assert set(m) >= {"snapshot_id", "buckets", "schemas", "committed_tags"}
     for e in m["buckets"].values():
         assert os.path.isdir(os.path.join(root, e["path"]))
+
+
+def test_expire_snapshots(spark, tdir):
+    """Maintenance: old manifests+orphan data dirs removed; current state,
+    time travel within the kept window, lineage, and tags all survive."""
+    root = os.path.join(tdir, "texp")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    for i in range(6):
+        df = _mkdf(spark, [(f"doc_{j}", [i, j], 2) for j in range(8)])
+        t = t.overwrite_all(df, tag=f"load:{i}")
+    before = t.read().orderBy("doc_id").collect()
+    n_dirs_before = len(os.listdir(os.path.join(root, "data")))
+
+    res = t.expire_snapshots(keep_last=2)
+    assert res["removed_manifests"] > 0
+    assert len(os.listdir(os.path.join(root, "data"))) <= n_dirs_before
+
+    t2 = IceboxTable.load(spark, root)
+    assert t2.read().orderBy("doc_id").collect() == before
+    # tags survive (exactly-once replay detection intact)
+    assert t2.has_tag("load:0") and t2.has_tag("load:5")
+    # replay of an expired-era tag is still a no-op
+    df = _mkdf(spark, [("doc_X", [9], 1)])
+    t3 = t2.overwrite_all(df, tag="load:0")
+    assert t3.snapshot_id == t2.snapshot_id
