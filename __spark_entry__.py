@@ -494,11 +494,14 @@ def _sql_dedup_minhash_lsh() -> str:
     band_concat = "concat_ws(',', " + ", ".join(
         f"CAST(sig[b*4+{r}] AS VARCHAR)" for r in range(1, 5)
     ) + ")"
+    mixes = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {D.MINHASH_P}) + {b}) % {D.MINHASH_P}))"
+        for a, b in D.minhash_consts(16)
+    )
     return f"""
 WITH sh AS (SELECT doc_id, {_SH5} AS s FROM documents),
-sig AS (SELECT doc_id,
-  [list_min(list_transform(s, x -> {h64_sql("concat(CAST(j AS VARCHAR), ':', x)")})) for j in range(0, 16)] AS sig
-  FROM sh),
+hs AS (SELECT doc_id, list_transform(s, x -> {h64_sql('x')}) AS hs FROM sh),
+sig AS (SELECT doc_id, [{mixes}] AS sig FROM hs),
 bands AS (SELECT doc_id, b, {h64_sql(band_concat)} AS bucket FROM sig, range(0,4) t(b)),
 reps AS (SELECT b, bucket, min(doc_id) AS bucket_rep FROM bands GROUP BY b, bucket)
 SELECT bands.doc_id AS doc_id, min(bucket_rep) AS rep_id

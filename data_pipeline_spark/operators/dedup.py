@@ -49,6 +49,27 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# universal-hash mixing: h' = (a_j * (h mod P) + b_j) mod P with P the
+# Mersenne prime 2^31-1. P must be SMALL relative to the products so the
+# outer modulo actually wraps — with a larger P the map a*x+b is monotone
+# in x and every "permutation" would pick the same argmin shingle.
+# Bounds keep products within signed int64 under ANSI mode in BOTH
+# engines: a_j < 2^28 (odd), h mod P < 2^31 → product < 2^59.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) permutation constants, md5-derived in
+    Python (hashlib md5 == Spark md5 == DuckDB md5 on UTF-8), embedded as
+    plain literals on both engine sides."""
+    import hashlib
+
+    def c(tag: str, j: int) -> int:
+        return int(hashlib.md5(f"mh:{tag}:{j}".encode()).hexdigest()[:7], 16)
+
+    return [(c("a", j) | 1, c("b", j)) for j in range(k)]
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -58,19 +79,27 @@ def minhash_signature(
 ) -> DataFrame:
     """k-permutation MinHash signature as an array<bigint> column `sig`.
 
-    sig[j] = min over shingles s of h64(j || ':' || s). Pure column
-    expressions: the shingle array is built once, each hash pass is a
-    transform+array_min — no shuffle, no UDF.
+    One md5 per shingle (staged as a real column so Catalyst does not
+    re-inline it into every permutation — SPARK-36718 keeps non-cheap
+    multi-referenced projections staged), then k cheap universal-hash
+    mixes: sig[j] = min over shingles s of (a_j*(h64(s) mod M)+b_j) mod P.
+    Pure column expressions — no shuffle, no UDF.
     """
-    sh = shingles(F.col(text_col), k=shingle)
+    hs = F.transform(shingles(F.col(text_col), k=shingle), lambda s: h64(s))
+    staged = df.select(F.col(id_col), hs.alias("_hs"))
 
-    def _salted(j: int):
-        # closure factory: a bare multi-param lambda would make Spark pass
-        # (element, index) and silently corrupt the salt
-        return lambda s: h64(F.concat(F.lit(f"{j}:"), s))
+    def _mix(a: int, b: int):
+        return lambda h: (F.lit(a) * F.pmod(h, F.lit(MINHASH_P)) + F.lit(b)) % F.lit(
+            MINHASH_P
+        )
 
-    sig = F.array(*[F.array_min(F.transform(sh, _salted(j))) for j in range(k)])
-    return df.select(F.col(id_col), sig.alias("sig"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_hs"), _mix(a, b)))
+            for a, b in minhash_consts(k)
+        ]
+    )
+    return staged.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_rep(

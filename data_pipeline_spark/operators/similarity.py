@@ -89,14 +89,18 @@ def lsh_bits(
     bit p = 1 iff dot(vec, plane_p) >= 0, plane_p[i] derived from
     h64(f'{table}:{p}:{i}') — reproducible anywhere.
     """
+    import hashlib
+
+    def coef(p: int, i: int) -> float:
+        # identical to h64 of the same string (first 15 md5 hex chars):
+        # precomputed in Python so the plan carries plain float literals
+        # instead of dim×planes md5 expression nodes (codegen-size win)
+        h = int(hashlib.md5(f"{table}:{p}:{i}".encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
     bits = []
     for p in range(n_planes):
-        coefs = F.array(
-            *[
-                ((h64(F.lit(f"{table}:{p}:{i}")) % 2001 - 1000) / 1000.0).cast("double")
-                for i in range(dim)
-            ]
-        )
+        coefs = F.array(*[F.lit(coef(p, i)) for i in range(dim)])
         bit = F.when(dot(vec, coefs) >= 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )

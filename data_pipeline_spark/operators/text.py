@@ -120,12 +120,20 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """
     from ..functions.portable import shingles
 
-    norm = norm_text(text_col)
-    sh = shingles(norm, k=8)
-    return df.select(
+    # stage the normalized text and the shingle array as real columns:
+    # inlining them would re-run the regex chain once PER SHINGLE ELEMENT
+    # inside the transform lambda (quadratic — measured 130s vs ~2s on
+    # 5k docs). SPARK-36718 keeps non-cheap multi-referenced projections
+    # from collapsing back in.
+    staged = df.select(
+        F.col(id_col), norm_text(text_col).alias("_nrm")
+    ).select(
+        F.col(id_col), F.col("_nrm"), shingles(F.col("_nrm"), k=8).alias("_sh")
+    )
+    return staged.select(
         F.col(id_col),
-        h64(norm).alias("fp_norm"),
-        F.when(F.size(sh) > 0, F.array_min(F.transform(sh, lambda x: h64(x)))).alias(
-            "fp_winnow"
-        ),
+        h64(F.col("_nrm")).alias("fp_norm"),
+        F.when(
+            F.size("_sh") > 0, F.array_min(F.transform("_sh", lambda x: h64(x)))
+        ).alias("fp_winnow"),
     )
