@@ -174,6 +174,27 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: read the replayed table AS OF the snapshot
+    after batch 1 (of 3). The oracle replays only the event-log prefix
+    (lsn < 2000) — equality proves snapshots are immutable point-in-time
+    states, the engine's version of the reference's versioned immutable
+    releases (athena-schema/add-buildings-partitions.js:4-10)."""
+    table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
+    # snapshot ids: 0=create, 1..3 = batches 0..2
+    past = IceboxTable.load(spark, table.root, snapshot_id=2)
+    return past.read().select("doc_id", "tokens", "n_tok", "source")
+
+
+def _sql_cdc_time_travel() -> str:
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+pre AS (SELECT * FROM ev WHERE lsn < 2000),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM pre)
+SELECT doc_id, tokens, n_tok, source FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's salted LWW dedup applied to the driver `events` table
     as a change feed: event_id=LSN, user_id=key, event_type→op."""
@@ -930,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_lineage": q_cdc_lineage,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_time_travel": q_cdc_time_travel,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
@@ -970,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _sql_cdc_replay_final_state(),
         "cdc_lineage": _sql_cdc_lineage(),
         "cdc_schema_evolution": _sql_cdc_schema_evolution(),
+        "cdc_time_travel": _sql_cdc_time_travel(),
         "cdc_lww_dedup": _SQL_CDC_LWW_DEDUP,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "filter_project": _SQL_FILTER_PROJECT,

@@ -386,8 +386,9 @@ def _merge_shuffle(
 
 
 def _merged_schema(table: IceboxTable) -> StructType:
-    s = StructType([f for f in table.schema.fields])
-    return StructType([*s.fields]).add("_b", "int")
+    from pyspark.sql.types import IntegerType
+
+    return StructType([*table.schema.fields]).add("_b", IntegerType())
 
 
 def replay_log(
