@@ -101,3 +101,14 @@ def test_salted_and_unsalted_agree(spark, tdir):
     t1 = _engine_final(spark, os.path.join(tdir, "a"), log, n_salts=1)
     t2 = _engine_final(spark, os.path.join(tdir, "b"), log, n_salts=16)
     assert_tables_equal(t1.read().toPandas(), t2.read().toPandas())
+
+
+def test_generator_scales_to_design_magnitude(spark):
+    """The binlog generator must be pure f(ordinal) over spark.range —
+    planning a 10^10-event log must not materialize anything on the
+    driver, and executing a thin slice of it must work (the design-scale
+    claim in BASELINE.md is this property, not a faked full run)."""
+    big = gen_event_log(spark, 10_000_000_000, 1_000_000_000, batch_size=100_000_000)
+    assert big.limit(3).count() == 3
+    row = big.filter(F.col("lsn") == 9_999_999_999).collect()
+    assert len(row) == 1 and row[0]["batch_id"] == 99
