@@ -94,7 +94,7 @@ def bench_cdc_throughput(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "8000000"))
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
