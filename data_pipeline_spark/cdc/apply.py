@@ -212,6 +212,12 @@ def apply_batch(
             .agg(
                 F.count(F.lit(1)).alias("events_applied"),
                 F.max("lsn").alias("lsn_watermark"),
+                F.sum(
+                    (
+                        ~F.coalesce(F.col("op").isin(list(OP_RANK)), F.lit(False))
+                        | F.col("lsn").isNull()
+                    ).cast("long")
+                ).alias("bad_events"),
             )
             .join(
                 winners.groupBy("_b").agg(
@@ -233,6 +239,12 @@ def apply_batch(
             )
             .collect()
         )
+        bad = sum(r["bad_events"] or 0 for r in stats)
+        if bad:
+            raise ValueError(
+                f"batch {batch_id}: {bad} events with unknown op or null lsn "
+                f"(valid ops: {sorted(OP_RANK)}) — refusing to apply"
+            )
         touched = [r["_b"] for r in stats if r["n"]]
         if not touched:
             return table.commit_rewrite(

@@ -26,6 +26,6 @@ Overwrite idempotency (/root/reference/footprint-res/resolve-footprints.scala:20
 Hive path partitioning (/root/reference/grid-and-attrs/app.js:53-69).
 """
 
-from .table import IceboxTable, SchemaEvolutionError
+from .table import ConcurrentCommitError, IceboxTable, SchemaEvolutionError
 
-__all__ = ["IceboxTable", "SchemaEvolutionError"]
+__all__ = ["ConcurrentCommitError", "IceboxTable", "SchemaEvolutionError"]

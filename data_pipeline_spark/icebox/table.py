@@ -57,6 +57,15 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed since this handle's snapshot was loaded.
+
+    The table layer is optimistic-concurrency single-winner, like
+    Iceberg's atomic swap: commits from a stale handle are rejected
+    instead of silently clobbering the other writer's snapshot. Reload
+    the table and re-apply."""
+
+
 # widenings allowed, mirroring Iceberg's promotion rules
 _WIDEN_OK = {
     (IntegerType(), LongType()),
@@ -260,6 +269,7 @@ class IceboxTable:
         """
         if tag is not None and self.has_tag(tag):
             return self  # exactly-once: replay of a committed tag is a no-op
+        self._check_current()
         sid = self.snapshot_id + 1
         snap_dirname = f"snap-{sid:08d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", snap_dirname)
@@ -373,6 +383,17 @@ class IceboxTable:
         return self.commit_rewrite(
             merged, list(range(self.n_buckets)), tag=tag, summary={"operation": "overwrite"}
         )
+
+    def _check_current(self) -> None:
+        cur_path = os.path.join(self.root, "metadata", "CURRENT")
+        with open(cur_path) as f:
+            current = f.read().strip()
+        expected = f"snap-{self.snapshot_id:08d}.json"
+        if current != expected:
+            raise ConcurrentCommitError(
+                f"table at {self.root} moved to {current} while this handle "
+                f"holds {expected}; reload and re-apply"
+            )
 
     def _write_manifest(self, manifest: dict) -> None:
         meta_dir = os.path.join(self.root, "metadata")

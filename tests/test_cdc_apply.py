@@ -112,3 +112,21 @@ def test_generator_scales_to_design_magnitude(spark):
     assert big.limit(3).count() == 3
     row = big.filter(F.col("lsn") == 9_999_999_999).collect()
     assert len(row) == 1 and row[0]["batch_id"] == 99
+
+
+def test_malformed_events_rejected(spark, tdir):
+    """Unknown op / null lsn must fail the batch loudly, not corrupt the
+    table (the engine's version of the reference's row-validity guards,
+    grid-and-attrs/footprint.js:88-103 — upgraded from skip to refuse)."""
+    from data_pipeline_spark.cdc import apply_batch
+
+    root = os.path.join(tdir, "tbad")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    bad = spark.createDataFrame(
+        [(1, "frobnicate", "doc_1", [1], 1, "s"), (2, "insert", "doc_2", [2], 1, "s")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_batch(t, bad, 0)
+    # table unchanged (no snapshot advanced)
+    assert IceboxTable.load(spark, root).snapshot_id == 0

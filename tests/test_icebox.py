@@ -153,3 +153,20 @@ def test_expire_snapshots(spark, tdir):
     df = _mkdf(spark, [("doc_X", [9], 1)])
     t3 = t2.overwrite_all(df, tag="load:0")
     assert t3.snapshot_id == t2.snapshot_id
+
+
+def test_concurrent_commit_rejected(spark, tdir):
+    """Optimistic concurrency: a stale handle must not clobber a newer
+    snapshot (Iceberg-style single-winner swap)."""
+    from data_pipeline_spark.icebox import ConcurrentCommitError
+
+    root = os.path.join(tdir, "tcc")
+    IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t1 = IceboxTable.load(spark, root)
+    t2 = IceboxTable.load(spark, root)
+    df = _mkdf(spark, [("doc_1", [1], 1)])
+    t1.overwrite_all(df)
+    with pytest.raises(ConcurrentCommitError):
+        t2.overwrite_all(df)
+    # reload-and-retry works
+    IceboxTable.load(spark, root).overwrite_all(df)
