@@ -111,15 +111,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule final-state check. `tokens` is emitted as its canonical
+    CSV serialization (injective for array<int>) because the driver's
+    pandas canonicalizer cannot hash raw list cells; token-array equality
+    is exactly CSV-string equality."""
     table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
-    return table.read().select("doc_id", "tokens", "n_tok", "source")
+    return table.read().select(
+        "doc_id",
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
 
 
 def _sql_cdc_replay_final_state() -> str:
     return f"""
 WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
 w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
-SELECT doc_id, tokens, n_tok, source FROM w WHERE rn = 1 AND op <> 'delete'
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
+FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
@@ -161,14 +171,19 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = apply_batch(table, b0, 0, n_salts=8)
     table = apply_batch(table, b1, 1, n_salts=8)
-    return table.read().select("doc_id", "tokens", "n_tok", "source")
+    return table.read().select(
+        "doc_id",
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
 
 
 def _sql_cdc_schema_evolution() -> str:
     return f"""
 WITH ev AS ({portable_event_log_sql(2000, 200, 1000, 0)}),
 w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
-SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok,
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, CAST(n_tok AS BIGINT) AS n_tok,
        CASE WHEN batch_id = 0 THEN NULL ELSE source END AS source
 FROM w WHERE rn = 1 AND op <> 'delete'
 """
@@ -183,7 +198,12 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
     # snapshot ids: 0=create, 1..3 = batches 0..2
     past = IceboxTable.load(spark, table.root, snapshot_id=2)
-    return past.read().select("doc_id", "tokens", "n_tok", "source")
+    return past.read().select(
+        "doc_id",
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
 
 
 def _sql_cdc_time_travel() -> str:
@@ -191,7 +211,8 @@ def _sql_cdc_time_travel() -> str:
 WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
 pre AS (SELECT * FROM ev WHERE lsn < 2000),
 w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM pre)
-SELECT doc_id, tokens, n_tok, source FROM w WHERE rn = 1 AND op <> 'delete'
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
+FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
@@ -819,9 +840,9 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_PROPS = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
-       min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
-       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
 FROM events GROUP BY event_type
 """
 
@@ -878,7 +899,7 @@ def q_tok_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TK.repair_tokens(_tok_docs(spark))
     return d.select(
         "doc_id",
-        F.col("tokens_repaired").alias("tokens"),
+        F.concat_ws(",", "tokens_repaired").alias("tokens_csv"),
         F.size("tokens_repaired").cast("int").alias("n_tok"),
     )
 
@@ -887,7 +908,7 @@ def _sql_tok_repair() -> str:
     return f"""
 WITH td AS ({token_docs_sql(_N_TOKDOCS)})
 SELECT doc_id,
-  [tokens[i] for i in range(1, n_tok + 1) if i = 1 OR tokens[i] != tokens[i-1]] AS tokens,
+  array_to_string([tokens[i] for i in range(1, n_tok + 1) if i = 1 OR tokens[i] != tokens[i-1]], ',') AS tokens_csv,
   CAST(length([tokens[i] for i in range(1, n_tok + 1) if i = 1 OR tokens[i] != tokens[i-1]]) AS INT) AS n_tok
 FROM td
 """
@@ -896,15 +917,17 @@ FROM td
 def q_tok_truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length normalization: truncate to 16 / right-pad with 0."""
     d = TK.truncate_pad(_tok_docs(spark), max_len=16)
-    return d.select("doc_id", F.col("tokens_fixed").alias("tokens"))
+    return d.select(
+        "doc_id", F.concat_ws(",", "tokens_fixed").alias("tokens_csv")
+    )
 
 
 def _sql_tok_truncate_pad() -> str:
     return f"""
 WITH td AS ({token_docs_sql(_N_TOKDOCS)})
 SELECT doc_id,
-  list_concat(tokens[1:16],
-              [CAST(0 AS INT) for j in range(0, 16 - least(n_tok, 16))]) AS tokens
+  array_to_string(list_concat(tokens[1:16],
+              [CAST(0 AS INT) for j in range(0, 16 - least(n_tok, 16))]), ',') AS tokens_csv
 FROM td
 """
 
@@ -927,7 +950,13 @@ FROM (SELECT unnest(tokens) AS t FROM td) GROUP BY t HAVING count(*) > 1
 def q_tok_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk, per source, doc_id order) via
     Arrow-batched applyInPandas — the engine's one pandas-UDF hot path."""
-    return TK.pack_sequences(_tok_docs(spark), seq_len=64)
+    packed = TK.pack_sequences(_tok_docs(spark), seq_len=64)
+    return packed.select(
+        "source",
+        "chunk_id",
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        "n_tok",
+    )
 
 
 def _sql_tok_pack() -> str:
@@ -935,7 +964,7 @@ def _sql_tok_pack() -> str:
 WITH td AS ({token_docs_sql(_N_TOKDOCS)}),
 g AS (SELECT source, flatten(list(tokens ORDER BY doc_id)) AS ft FROM td GROUP BY source)
 SELECT source, CAST(i AS BIGINT) AS chunk_id,
-       ft[i*64+1 : (i+1)*64] AS tokens,
+       array_to_string(ft[i*64+1 : (i+1)*64], ',') AS tokens_csv,
        CAST(length(ft[i*64+1 : (i+1)*64]) AS INT) AS n_tok
 FROM g, range(0, 100000) t(i)
 WHERE i*64 < length(ft)
