@@ -42,20 +42,28 @@ Scale design (what survives a 1000-executor / 100 TB target):
         (resolve-footprints.scala:104-110,128-133) re-applied to hash
         salts. Two exchanges + sorts; kept as the spec-literal path.
   * merge strategies:
-      - "join" (chosen when the deduped batch is broadcastable — the
-        steady-state CDC shape: small batch vs huge table): copy-on-write
-        via `target LEFT JOIN broadcast(winners)` — the big side never
-        shuffles and never sorts; additions come from a key-column-pruned
-        anti probe. Zero exchanges over target data.
+      - "delta" (merge-on-read — the steady-state production shape at
+        100 TB): the deduped winners are appended as per-bucket delta
+        files (icebox.commit_delta); per-batch write cost is O(batch),
+        never O(table). Reads LWW-merge base ∪ deltas; compact_if_needed
+        folds deltas back when they outgrow a ratio of the base.
+      - "join" (copy-on-write when the deduped batch is broadcastable):
+        `target LEFT JOIN broadcast(winners)` — the big side never
+        shuffles and never sorts; additions come from an existence probe
+        against the SAME bucket-pruned target scan. Zero exchanges over
+        target data, but each touched bucket is rewritten in full.
       - "shuffle" (batch ~ table size, e.g. initial backfill): union +
         one exchange on the bucket column + one per-bucket sort shared by
         the LWW window AND the partitioned, key-clustered write.
-  * the target scan is partition-pruned to the buckets the batch touches
-    (the analog of the reference reading one cty= prefix,
-    /root/reference/citygml/build-citygml.sh:37);
-  * driver work per batch is O(#touched buckets): two small collects
-    (bucket stats, lineage) and an O(buckets) manifest write — never
-    O(#events).
+  * every target scan (merge and existence probe alike) is
+    partition-pruned to the buckets the batch touches (the analog of the
+    reference reading one cty= prefix,
+    /root/reference/citygml/build-citygml.sh:37); no job ever scans the
+    full table for bookkeeping;
+  * per batch with the default "agg" dedup: ONE stats+dedup job over the
+    raw events (stats fold into the dedup aggregate, _dedup_with_stats)
+    and ONE merge/write job; driver work is O(#touched buckets) — one
+    small collect, one O(buckets) manifest write — never O(#events).
 """
 
 from __future__ import annotations
@@ -158,6 +166,46 @@ def lww_dedup(
     )
 
 
+def _bad_event_pred(key: str):
+    """An event is malformed iff its op is unknown, its lsn is null, or
+    its key is null (a null key cannot be bucketed or merged)."""
+    return (
+        ~F.coalesce(F.col("op").isin(list(OP_RANK)), F.lit(False))
+        | F.col("lsn").isNull()
+        | F.col(key).isNull()
+    )
+
+
+def _dedup_with_stats(ev: DataFrame, key: str, table: IceboxTable) -> DataFrame:
+    """One hash aggregate producing BOTH the LWW winners and the per-key
+    batch statistics — the engine's single scan over the raw events.
+
+    Per key: winner payload via max_by over (lsn, op_rank) (nulls coerced
+    to sort last so a malformed row can never beat a valid one), event
+    count, LSN watermark, malformed count. Tungsten partial aggregation
+    still acts as the salt phase for hot keys (see lww_dedup "agg").
+    The per-bucket rollup of these columns replaces the separate stats
+    job AND the full-table existence probe apply_batch used to run —
+    driver work per batch stays O(#touched buckets), and no job ever
+    scans the target for bookkeeping.
+    """
+    rank = F.coalesce(_op_rank_col(), F.lit(-1))
+    lsn_safe = F.coalesce(F.col("lsn"), F.lit(-(1 << 62)))
+    payload = F.struct(*[F.col(c) for c in ev.columns])
+    ordc = F.struct(lsn_safe.alias("l"), rank.alias("r"))
+    return (
+        ev.groupBy(key)
+        .agg(
+            F.max_by(payload, ordc).alias("_w"),
+            F.count(F.lit(1)).alias("_n_ev"),
+            F.max("lsn").alias("_wm"),
+            F.sum(_bad_event_pred(key).cast("long")).alias("_bad"),
+        )
+        .select("_w.*", "_n_ev", "_wm", "_bad")
+        .withColumn("_b", table.bucket_of())
+    )
+
+
 def apply_batch(
     table: IceboxTable,
     events: DataFrame,
@@ -175,77 +223,82 @@ def apply_batch(
 
     merge_strategy: "auto" broadcasts the deduped batch when it is small
     enough (steady-state CDC), else shuffles; "join"/"shuffle" force.
+    "delta" writes the winners as merge-on-read delta files — per-batch
+    write cost is O(batch), never O(table) (see icebox.commit_delta).
+
+    Lineage semantics: rows_upserted counts non-delete winners,
+    rows_deleted counts delete winners (tombstones written) — both are
+    batch-intrinsic, so lineage needs no target probe.
+
+    Per-batch Spark jobs with the default "agg" dedup: ONE stats/dedup
+    job over the raw events (see _dedup_with_stats) and ONE merge+write
+    job. A batch rejected for malformed events leaves no trace: the
+    schema evolution normalize_events applied in-memory is rolled back.
     """
     tag = f"{tag_prefix}:{batch_id}"
     if table.has_tag(tag):
         return table
 
     key = table.key
-    ev = normalize_events(events, table).persist()
+    # snapshot the in-memory schema state so a rejected batch can roll
+    # back the evolution normalize_events performs eagerly
+    saved_schema_id = table.manifest["current_schema_id"]
+    saved_schemas = dict(table.manifest["schemas"])
+    ev = normalize_events(events, table)
     winners = None
-    ex = None
+    ev_persisted = False
     try:
-        winners = (
-            lww_dedup(ev, key=key, n_salts=n_salts, strategy=dedup_strategy)
-            .withColumn("_b", table.bucket_of())
-            .persist()
-        )
-
-        # key-pruned existence probe: which winner keys already exist in
-        # the target (parquet column pruning → reads only
-        # key/_tombstone). Feeds the additions anti-join and the
-        # rows_deleted counter. AQE broadcasts the small winner side.
-        ex = (
-            table.read(internal=True)
-            .select(key, "_tombstone")
-            .join(winners.select(key, "op", "_b"), key, "inner")
-            .persist()
-        )
-
-        # ONE driver collect per batch: per-bucket event counts + LSN
-        # watermarks (from raw events), winner/upsert counts (dedup
-        # output — also the touched-bucket set for partition pruning and
-        # the merge-strategy choice), and live-delete counts (probe).
-        stats = (
-            ev.withColumn("_b", table.bucket_of())
-            .groupBy("_b")
-            .agg(
-                F.count(F.lit(1)).alias("events_applied"),
-                F.max("lsn").alias("lsn_watermark"),
-                F.sum(
-                    (
-                        ~F.coalesce(F.col("op").isin(list(OP_RANK)), F.lit(False))
-                        | F.col("lsn").isNull()
-                    ).cast("long")
-                ).alias("bad_events"),
-            )
-            .join(
-                winners.groupBy("_b").agg(
+        if dedup_strategy == "agg":
+            winners = _dedup_with_stats(ev, key, table).persist()
+            stats = (
+                winners.groupBy("_b")
+                .agg(
+                    F.sum("_n_ev").alias("events_applied"),
+                    F.max("_wm").alias("lsn_watermark"),
+                    F.sum("_bad").alias("bad_events"),
                     F.count(F.lit(1)).alias("n"),
                     F.sum((F.col("op") != "delete").cast("long")).alias("n_ups"),
-                ),
-                "_b",
-                "full",
-            )
-            .join(
-                ex.filter(
-                    (F.col("op") == "delete")
-                    & ~F.coalesce("_tombstone", F.lit(False))
+                    F.sum((F.col("op") == "delete").cast("long")).alias("n_dels"),
                 )
-                .groupBy("_b")
-                .agg(F.count(F.lit(1)).alias("n_dels")),
-                "_b",
-                "left",
+                .collect()
             )
-            .collect()
-        )
+        else:
+            # spec-literal window path: dedup and stats are separate scans
+            ev = ev.persist()
+            ev_persisted = True
+            winners = (
+                lww_dedup(ev, key=key, n_salts=n_salts, strategy=dedup_strategy)
+                .withColumn("_b", table.bucket_of())
+                .persist()
+            )
+            stats = (
+                ev.withColumn("_b", table.bucket_of())
+                .groupBy("_b")
+                .agg(
+                    F.count(F.lit(1)).alias("events_applied"),
+                    F.max("lsn").alias("lsn_watermark"),
+                    F.sum(_bad_event_pred(key).cast("long")).alias("bad_events"),
+                )
+                .join(
+                    winners.groupBy("_b").agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum((F.col("op") != "delete").cast("long")).alias("n_ups"),
+                        F.sum((F.col("op") == "delete").cast("long")).alias("n_dels"),
+                    ),
+                    "_b",
+                    "full",
+                )
+                .collect()
+            )
         bad = sum(r["bad_events"] or 0 for r in stats)
         if bad:
+            table.manifest["current_schema_id"] = saved_schema_id
+            table.manifest["schemas"] = saved_schemas
             raise ValueError(
-                f"batch {batch_id}: {bad} events with unknown op or null lsn "
-                f"(valid ops: {sorted(OP_RANK)}) — refusing to apply"
+                f"batch {batch_id}: {bad} events with unknown op, null lsn, "
+                f"or null {key} (valid ops: {sorted(OP_RANK)}) — refusing to apply"
             )
-        touched = [r["_b"] for r in stats if r["n"]]
+        touched = [int(r["_b"]) for r in stats if r["n"]]
         if not touched:
             return table.commit_rewrite(
                 table.spark.createDataFrame([], _merged_schema(table)),
@@ -260,18 +313,6 @@ def apply_batch(
             merge_strategy = "join" if (small_batch and vs_table) else "shuffle"
 
         cols = [f.name for f in table.schema.fields]
-        # target rows (incl. tombstones) of touched buckets only — the
-        # analog of the reference reading one cty= prefix,
-        # /root/reference/citygml/build-citygml.sh:37
-        target = table.read(buckets=touched, internal=True)
-
-        if merge_strategy == "join":
-            merged = _merge_join(table, target, winners, ex, cols)
-            repartition = False  # preserves the target scan's bucket layout
-        else:
-            merged = _merge_shuffle(table, target, winners, cols, len(touched))
-            repartition = False  # _merge_shuffle repartitions itself
-
         bid = int(batch_id) if str(batch_id).lstrip("-").isdigit() else -1
         lineage = [
             (
@@ -284,32 +325,52 @@ def apply_batch(
             )
             for r in stats
         ]
+        summary = {
+            "operation": "merge",
+            "strategy": merge_strategy,
+            "touched_buckets": len(touched),
+            "winners": n_winners,
+        }
+
+        if merge_strategy == "delta":
+            deltas = winners.select(
+                "_b",
+                F.col(key),
+                *[F.col(c) for c in cols if c != key],
+                F.col("lsn").alias("_lsn"),
+                (F.col("op") == "delete").alias("_tombstone"),
+            )
+            return table.commit_delta(
+                deltas, touched, tag=tag, lineage=lineage, summary=summary
+            )
+
+        # target rows (incl. tombstones) of touched buckets only — the
+        # analog of the reference reading one cty= prefix,
+        # /root/reference/citygml/build-citygml.sh:37
+        target = table.read(buckets=touched, internal=True)
+        if merge_strategy == "join":
+            merged = _merge_join(table, target, winners, cols)
+        else:
+            merged = _merge_shuffle(table, target, winners, cols, len(touched))
         return table.commit_rewrite(
             merged,
             touched,
             tag=tag,
             lineage=lineage,
-            summary={
-                "operation": "merge",
-                "strategy": merge_strategy,
-                "touched_buckets": len(touched),
-                "winners": n_winners,
-            },
-            repartition=repartition,
+            summary=summary,
+            repartition=False,  # both merge plans already cluster by _b
         )
     finally:
-        ev.unpersist()
+        if ev_persisted:
+            ev.unpersist()
         if winners is not None:
             winners.unpersist()
-        if ex is not None:
-            ex.unpersist()
 
 
 def _merge_join(
     table: IceboxTable,
     target: DataFrame,
     winners: DataFrame,
-    ex: DataFrame,
     cols: list[str],
 ) -> DataFrame:
     """Broadcast copy-on-write merge: the target (big side) streams through
@@ -318,8 +379,16 @@ def _merge_join(
     no repartition either. The per-key LWW decision (take the incoming
     winner iff its lsn >= the stored row's _lsn; ties prefer incoming,
     matching the shuffle plan's `_in DESC` tie-break) happens row-side.
+
+    The existence probe for additions is computed from the SAME
+    bucket-pruned target scan (winner keys can only live in touched
+    buckets), never a full-table scan.
     """
     key = table.key
+    # winner keys already present in the (pruned) target — small: ≤ |winners|
+    existing = target.select(key).join(
+        F.broadcast(winners.select(key)), key, "left_semi"
+    )
     wpref = F.broadcast(
         winners.select(
             F.col(key),
@@ -350,7 +419,7 @@ def _merge_join(
     # (#tasks × #buckets) tiny files; this shuffle moves only the small
     # additions set, never the target.
     additions = (
-        winners.join(F.broadcast(ex.select(key)), key, "left_anti")
+        winners.join(F.broadcast(existing), key, "left_anti")
         .select(
             "_b",
             F.col(key),

@@ -34,23 +34,34 @@ def run_stream(
     n_salts: int = 16,
     max_files_per_trigger: int | None = None,
     await_all: bool = True,
+    merge_strategy: str = "auto",
+    compact_ratio: float | None = None,
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
     Returns the StreamingQuery (stopped already if await_all=True).
     The table must exist; reload it per epoch so a restarted stream sees
     the committed snapshot chain.
+
+    merge_strategy="delta" is the steady-state production shape (O(batch)
+    writes, see cdc.apply); pair it with compact_ratio (e.g. 0.5) to fold
+    deltas back into base files after the epochs that outgrow it.
+    Compaction runs AFTER the tagged epoch commit and moves no logical
+    data, so a crash between the two leaves a replayable, correct table.
     """
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         table = IceboxTable.load(spark, table_root)
-        apply_batch(
+        table = apply_batch(
             table,
             batch_df,
             batch_id=epoch_id,
             n_salts=n_salts,
             tag_prefix=f"stream:{query_name}",
+            merge_strategy=merge_strategy,
         )
+        if compact_ratio is not None:
+            table.compact_if_needed(ratio=compact_ratio)
 
     reader = spark.readStream.schema(events_schema)
     if max_files_per_trigger:

@@ -155,10 +155,13 @@ class IceboxTable:
 
     @property
     def total_rows(self) -> int:
-        """Physical row count (incl. tombstones) from bucket metadata;
-        0 for pre-row-tracking manifests (heuristics treat that as
-        'unknown, assume small')."""
-        return sum(e.get("rows", 0) for e in self.manifest["buckets"].values())
+        """Physical row count (incl. tombstones and delta rows) from
+        bucket metadata; 0 for pre-row-tracking manifests (heuristics
+        treat that as 'unknown, assume small')."""
+        return sum(
+            e.get("rows", 0) + sum(d["rows"] for d in e.get("deltas") or [])
+            for e in self.manifest["buckets"].values()
+        )
 
     def bucket_of(self):
         return bucket_expr(self.n_buckets, self.key)
@@ -219,17 +222,59 @@ class IceboxTable:
         if buckets is not None:
             wanted = {str(b) for b in buckets}
             entries = {b: e for b, e in entries.items() if b in wanted}
-        by_schema: dict[str, list[str]] = {}
+
+        # clean buckets (no deltas): read base files grouped by schema.
+        # delta'd buckets (merge-on-read): base gets _seq=0, the i-th
+        # delta commit gets _seq=i+1, then one hash aggregate picks the
+        # LWW row per key via max_by over (_lsn, _seq) — later commits
+        # win exact-LSN ties, identical to the copy-on-write plans'
+        # `>=` / `_in DESC` tie-break. Keys never cross buckets
+        # (bucket = f(key)), so one aggregate over all delta'd buckets
+        # is per-bucket-correct.
+        clean_groups: dict[str, list[str]] = {}
+        mor_groups: dict[tuple[str, int], list[str]] = {}
         for e in entries.values():
-            by_schema.setdefault(str(e["schema_id"]), []).append(
-                os.path.join(self.root, e["path"])
-            )
-        parts = []
-        for sid, paths in sorted(by_schema.items()):
+            deltas = e.get("deltas") or []
+            base = e.get("path")
+            if not deltas:
+                if base is not None:
+                    clean_groups.setdefault(str(e["schema_id"]), []).append(
+                        os.path.join(self.root, base)
+                    )
+                continue
+            if base is not None:
+                mor_groups.setdefault((str(e["schema_id"]), 0), []).append(
+                    os.path.join(self.root, base)
+                )
+            for i, d in enumerate(deltas):
+                mor_groups.setdefault((str(d["schema_id"]), i + 1), []).append(
+                    os.path.join(self.root, d["path"])
+                )
+
+        def _read_group(sid: str, paths: list[str]) -> DataFrame:
             logical = StructType.fromJson(json.loads(self.manifest["schemas"][sid]))
             file_schema = StructType([*logical.fields, *INTERNAL_FIELDS])
             df = self.spark.read.schema(file_schema).parquet(*paths)
-            parts.append(_conform(df, phys_target))
+            return _conform(df, phys_target)
+
+        parts = [
+            _read_group(sid, paths) for sid, paths in sorted(clean_groups.items())
+        ]
+        if mor_groups:
+            mor_parts = [
+                _read_group(sid, paths).withColumn("_seq", F.lit(seq))
+                for (sid, seq), paths in sorted(mor_groups.items())
+            ]
+            u = mor_parts[0]
+            for p in mor_parts[1:]:
+                u = u.unionByName(p)
+            payload = F.struct(*[F.col(f.name) for f in phys_target.fields])
+            ordc = F.struct(F.col("_lsn").alias("l"), F.col("_seq").alias("s"))
+            parts.append(
+                u.groupBy(self.key)
+                .agg(F.max_by(payload, ordc).alias("_w"))
+                .select("_w.*")
+            )
         if not parts:
             out = self.spark.createDataFrame([], phys_target)
         else:
@@ -320,7 +365,12 @@ class IceboxTable:
         if lineage is not None:
             if isinstance(lineage, DataFrame):
                 lineage = [tuple(r) for r in lineage.collect()]
-            lin_rel = os.path.join(snap_rel, "lineage")
+            # lineage lives OUTSIDE the per-snapshot data dirs (under the
+            # always-referenced data/lineage/): lineage_paths is cumulative,
+            # so co-locating it with snapshot data would pin every
+            # historical snapshot dir forever and expire_snapshots could
+            # never reclaim superseded bucket data
+            lin_rel = os.path.join("data", "lineage", snap_dirname)
             _write_lineage_local(os.path.join(self.root, lin_rel), lineage)
             lineage_paths.append(lin_rel)
 
@@ -336,6 +386,127 @@ class IceboxTable:
         }
         self._write_manifest(manifest)
         return IceboxTable(self.spark, self.root, manifest)
+
+    def commit_delta(
+        self,
+        deltas: DataFrame,
+        touched_buckets: list[int],
+        tag: str | None = None,
+        lineage: "DataFrame | list[tuple] | None" = None,
+        summary: dict | None = None,
+    ) -> "IceboxTable":
+        """Merge-on-read commit: append per-bucket delta files instead of
+        rewriting buckets. `deltas` holds the batch's deduped winners
+        (payload + `_b` + `_lsn` + `_tombstone`, one row per key, deletes
+        as tombstone rows). Write cost is O(batch) — copy-on-write's
+        O(touched-table) amplification (a uniformly-spread micro-batch
+        rewrites every bucket) never happens. Reads LWW-merge
+        base ∪ deltas per key on (_lsn, commit order); compact_if_needed
+        folds deltas back into base files.
+
+        The reference's analog is appending new version= partitions
+        instead of rewriting releases
+        (/root/reference/athena-schema/add-buildings-partitions.js:4-10).
+        """
+        if tag is not None and self.has_tag(tag):
+            return self
+        self._check_current()
+        sid = self.snapshot_id + 1
+        snap_dirname = f"snap-{sid:08d}-{uuid.uuid4().hex[:8]}"
+        snap_rel = os.path.join("data", snap_dirname)
+        snap_abs = os.path.join(self.root, snap_rel)
+
+        cols = [f.name for f in self.schema.fields] + INTERNAL_NAMES
+        out = deltas.select("_b", *cols).repartition(
+            max(len(touched_buckets), 1), "_b"
+        )
+        (
+            out.sortWithinPartitions("_b", self.key)
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(snap_abs)
+        )
+
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(snap_abs)
+            if d.startswith("_b=")
+        }
+        cur_sid = self.manifest["current_schema_id"]
+        new_buckets = dict(self.manifest["buckets"])
+        for b in touched_buckets:
+            if b not in written:
+                continue
+            bdir = os.path.join(snap_abs, f"_b={b}")
+            old = new_buckets.get(str(b))
+            entry = (
+                {**old, "deltas": list(old.get("deltas") or [])}
+                if old is not None
+                # first write to this bucket arrives as a delta: no base
+                else {"path": None, "schema_id": cur_sid, "rows": 0, "deltas": []}
+            )
+            entry["deltas"].append(
+                {
+                    "path": os.path.join(snap_rel, f"_b={b}"),
+                    "schema_id": cur_sid,
+                    "rows": _parquet_rows(bdir),
+                }
+            )
+            new_buckets[str(b)] = entry
+
+        lineage_paths = list(self.manifest["lineage_paths"])
+        if lineage is not None:
+            if isinstance(lineage, DataFrame):
+                lineage = [tuple(r) for r in lineage.collect()]
+            lin_rel = os.path.join("data", "lineage", snap_dirname)
+            _write_lineage_local(os.path.join(self.root, lin_rel), lineage)
+            lineage_paths.append(lin_rel)
+
+        manifest = {
+            **self.manifest,
+            "snapshot_id": sid,
+            "parent_id": self.snapshot_id,
+            "tag": tag,
+            "committed_tags": self.manifest["committed_tags"] + ([tag] if tag else []),
+            "buckets": new_buckets,
+            "lineage_paths": lineage_paths,
+            "summary": summary or {},
+        }
+        self._write_manifest(manifest)
+        return IceboxTable(self.spark, self.root, manifest)
+
+    def compact_if_needed(
+        self,
+        ratio: float = 0.5,
+        min_deltas: int = 1,
+        tag: str | None = None,
+    ) -> "IceboxTable":
+        """Maintenance: fold delta files back into base files for buckets
+        whose accumulated delta rows exceed `ratio` × base rows (or whose
+        base is empty). One copy-on-write commit covering every chosen
+        bucket (the MoR read view IS the merge); a no-op returns self.
+        Compaction moves no logical data, so it needs no exactly-once tag
+        and is safe to re-run after a crash."""
+        chosen = []
+        for b, e in self.manifest["buckets"].items():
+            deltas = e.get("deltas") or []
+            if len(deltas) < min_deltas:
+                continue
+            drows = sum(d["rows"] for d in deltas)
+            base_rows = e.get("rows", 0)
+            if base_rows == 0 or drows >= ratio * base_rows:
+                chosen.append(int(b))
+        if not chosen:
+            return self
+        merged = self.read(buckets=chosen, internal=True).withColumn(
+            "_b", self.bucket_of()
+        )
+        return self.commit_rewrite(
+            merged,
+            chosen,
+            tag=tag,
+            summary={"operation": "compact", "buckets": len(chosen)},
+        )
 
     def expire_snapshots(self, keep_last: int = 5) -> dict:
         """Iceberg-style maintenance: drop manifests older than the last
@@ -361,7 +532,10 @@ class IceboxTable:
             with open(os.path.join(meta_dir, f"snap-{sid:08d}.json")) as f:
                 m = json.load(f)
             for e in m["buckets"].values():
-                referenced.add(e["path"].split(os.sep)[1])  # data/<dir>/_b=k
+                if e.get("path") is not None:
+                    referenced.add(e["path"].split(os.sep)[1])  # data/<dir>/_b=k
+                for d in e.get("deltas") or []:
+                    referenced.add(d["path"].split(os.sep)[1])
             for p in m["lineage_paths"]:
                 referenced.add(p.split(os.sep)[1])
         data_dir = os.path.join(self.root, "data")
@@ -396,16 +570,32 @@ class IceboxTable:
             )
 
     def _write_manifest(self, manifest: dict) -> None:
+        """Single-winner commit swap.
+
+        Snapshot names are deterministic (parent+1), so two writers racing
+        from the same loaded snapshot compute the SAME manifest name; the
+        hard-link publish below is an atomic exclusive create — exactly one
+        writer wins, the other gets ConcurrentCommitError instead of
+        silently clobbering the winner's manifest (the _check_current at
+        commit start is advisory only; this is the arbiter)."""
         meta_dir = os.path.join(self.root, "metadata")
         name = f"snap-{manifest['snapshot_id']:08d}.json"
         path = os.path.join(meta_dir, name)
-        tmp = path + ".tmp"
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)
-        cur_tmp = os.path.join(meta_dir, "CURRENT.tmp")
+        try:
+            os.link(tmp, path)  # atomic O_EXCL-style publish
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot {name} already committed by another writer; "
+                f"reload {self.root} and re-apply"
+            ) from None
+        finally:
+            os.remove(tmp)
+        cur_tmp = os.path.join(meta_dir, f"CURRENT.tmp-{uuid.uuid4().hex[:8]}")
         with open(cur_tmp, "w") as f:
             f.write(name)
             f.flush()

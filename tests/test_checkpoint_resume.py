@@ -76,3 +76,36 @@ def test_stream_stop_resume_equals_clean_run(spark, tdir):
     # lineage accounts every event exactly once
     lin = final.read_lineage().toPandas()
     assert lin["events_applied"].sum() == 3000
+
+
+def test_stream_delta_mode_stop_resume_with_compaction(spark, tdir):
+    """The production MoR shape: stream with merge_strategy='delta' and
+    inline compaction, interrupt, resume — final state must equal the
+    sequential oracle and compaction must have folded deltas."""
+    events_dir = os.path.join(tdir, "events")
+    log = gen_event_log(spark, n_events=2400, n_docs=250, batch_size=400, partitions=4)
+    log.write.partitionBy("batch_id").parquet(events_dir)
+
+    root = os.path.join(tdir, "mor")
+    ckpt = os.path.join(tdir, "ck")
+    IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+    q = run_stream(spark, events_dir, EV_SCHEMA, root, ckpt, query_name="mor",
+                   max_files_per_trigger=4, await_all=False,
+                   merge_strategy="delta", compact_ratio=0.5)
+    while IceboxTable.load(spark, root).snapshot_id < 1 and q.isActive:
+        pass
+    q.stop()
+    q.awaitTermination()
+
+    run_stream(spark, events_dir, EV_SCHEMA, root, ckpt, query_name="mor",
+               max_files_per_trigger=4,
+               merge_strategy="delta", compact_ratio=0.5)
+    final = IceboxTable.load(spark, root)
+    got = final.read().toPandas()
+    expected = replay_oracle(log.toPandas(), PAYLOAD)
+    assert_tables_equal(got, expected[list(got.columns)])
+    assert final.read_lineage().toPandas()["events_applied"].sum() == 2400
+    # compaction ran: base files exist (not a pure delta chain)
+    assert any(
+        e.get("path") is not None for e in final.manifest["buckets"].values()
+    )

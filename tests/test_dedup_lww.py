@@ -75,3 +75,22 @@ def test_lww_dedup_unit(spark):
             "c": (20, "upsert"),
             "d": (31, "delete"),
         }
+
+
+def test_dedup_strategies_equivalent(spark):
+    """The "agg" (max_by hash aggregate) and "window" (salted two-phase
+    ranking) strategies must pick the identical winner row for every key —
+    including on a log with redelivered LSNs and a hot key."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.gen import gen_event_log
+
+    log = gen_event_log(
+        spark, n_events=2000, n_docs=150, batch_size=2000, hot_frac=0.4, partitions=4
+    )
+    # inject redelivery: duplicate a slice with identical LSNs
+    log = log.unionByName(log.filter(F.col("lsn") % 7 == 0))
+    cols = ["doc_id", "lsn", "op", "tokens", "n_tok", "source"]
+    a = lww_dedup(log, strategy="agg").select(*cols).orderBy("doc_id").collect()
+    w = lww_dedup(log, strategy="window", n_salts=4).select(*cols).orderBy("doc_id").collect()
+    assert a == w

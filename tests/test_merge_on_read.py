@@ -1,0 +1,233 @@
+"""Merge-on-read delta path, compaction, bucket-pruned merges, space
+reclamation, and commit-race hardening.
+
+The MoR path exists because copy-on-write is the one genuine 100 TB
+blocker: a uniformly-spread micro-batch touches every bucket and CoW then
+rewrites the whole table per batch. Delta commits write O(batch) bytes;
+these tests pin that property plus read-equivalence with CoW.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.cdc import apply_batch, replay_log
+from data_pipeline_spark.gen import gen_event_log
+from data_pipeline_spark.icebox import IceboxTable
+from data_pipeline_spark.icebox.table import ConcurrentCommitError
+
+from .oracle import assert_tables_equal
+from .test_cdc_apply import BASE_SCHEMA, PAYLOAD
+
+
+def _delta_rows(t: IceboxTable) -> int:
+    return sum(
+        d["rows"]
+        for e in t.manifest["buckets"].values()
+        for d in e.get("deltas") or []
+    )
+
+
+def _base_rows(t: IceboxTable) -> int:
+    return sum(e.get("rows", 0) for e in t.manifest["buckets"].values())
+
+
+def _n_data_files(t: IceboxTable) -> int:
+    n = 0
+    for e in t.manifest["buckets"].values():
+        for p in [e.get("path")] + [d["path"] for d in e.get("deltas") or []]:
+            if p is None:
+                continue
+            d = os.path.join(t.root, p)
+            n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    return n
+
+
+def test_delta_replay_equals_cow_replay(spark, tdir):
+    log = gen_event_log(spark, n_events=2000, n_docs=250, batch_size=500, partitions=4)
+    t_cow = replay_log(
+        IceboxTable.create(spark, os.path.join(tdir, "cow"), BASE_SCHEMA, n_buckets=8),
+        log,
+        n_salts=4,
+    )
+    t_mor = replay_log(
+        IceboxTable.create(spark, os.path.join(tdir, "mor"), BASE_SCHEMA, n_buckets=8),
+        log,
+        n_salts=4,
+        merge_strategy="delta",
+    )
+    assert_tables_equal(
+        t_cow.read().select(*PAYLOAD).toPandas(),
+        t_mor.read().select(*PAYLOAD).toPandas(),
+    )
+    # the whole point: delta commits never rewrote the base
+    assert _base_rows(t_mor) == 0
+    # per-batch write cost is O(batch): total delta rows ≤ total winners
+    # (≤ one row per (batch, key)), never O(table × batches)
+    assert _delta_rows(t_mor) <= 2000
+
+
+def test_delta_write_amplification_is_batch_sized(spark, tdir):
+    """Delta commit k writes ~|batch k| rows even when every bucket is
+    touched; a CoW commit in the same shape rewrites the whole table."""
+    log = gen_event_log(spark, n_events=1600, n_docs=200, batch_size=400, partitions=4)
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=8)
+    per_commit = []
+    prev = 0
+    for b in range(4):
+        t = apply_batch(
+            t, log.filter(F.col("batch_id") == b), b, n_salts=4, merge_strategy="delta"
+        )
+        now = _delta_rows(t)
+        per_commit.append(now - prev)
+        prev = now
+    # each commit's written rows ≤ that batch's event count (post-dedup)
+    assert all(w <= 400 for w in per_commit)
+
+
+def test_compaction_bounds_files_and_preserves_reads(spark, tdir):
+    """20 delta batches with periodic compaction: file count stays bounded
+    and reads are unchanged by compaction."""
+    log = gen_event_log(spark, n_events=2000, n_docs=150, batch_size=100, partitions=4)
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=4)
+    max_files = 0
+    for b in range(20):
+        t = apply_batch(
+            t, log.filter(F.col("batch_id") == b), b, n_salts=4, merge_strategy="delta"
+        )
+        if b % 5 == 4:
+            before = t.read().orderBy("doc_id").toPandas()
+            t = t.compact_if_needed(ratio=0.5)
+            after = t.read().orderBy("doc_id").toPandas()
+            assert_tables_equal(before, after)
+        max_files = max(max_files, _n_data_files(t))
+    # without compaction: ≥ 20 batches × 4 buckets = 80 delta files;
+    # with it the live file count stays bounded
+    assert max_files < 40
+    # final state still matches a clean CoW replay
+    t_cow = replay_log(
+        IceboxTable.create(spark, os.path.join(tdir, "cow"), BASE_SCHEMA, n_buckets=4),
+        log,
+        n_salts=4,
+    )
+    assert_tables_equal(
+        t_cow.read().select(*PAYLOAD).toPandas(),
+        t.read().select(*PAYLOAD).toPandas(),
+    )
+
+
+def test_merge_reads_only_touched_buckets(spark, tdir):
+    """Partition-pruning proof by sabotage: corrupt the parquet files of
+    every bucket the batch does NOT touch — if any merge or stats job
+    scanned them, the apply would fail."""
+    target_doc = "doc_7"
+    b7 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(target_doc)), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    ev = spark.createDataFrame(
+        [(1000, "update", target_doc, [9, 9], 2, "s2")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    docs = [(f"doc_{i}", [i], 1, "s") for i in range(64)]
+
+    for strategy in ("join", "shuffle", "delta"):
+        root = os.path.join(tdir, strategy)
+        t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+        t = t.overwrite_all(spark.createDataFrame(docs, BASE_SCHEMA))
+        for b, e in t.manifest["buckets"].items():
+            if int(b) == b7:
+                continue
+            bdir = os.path.join(root, e["path"])
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(bdir, f), "wb") as fh:
+                        fh.write(b"corrupt")
+        t2 = apply_batch(t, ev, 0, merge_strategy=strategy)
+        got = t2.read(buckets=[b7]).filter(F.col("doc_id") == target_doc).collect()
+        assert [r["tokens"] for r in got] == [[9, 9]], strategy
+
+
+def test_expire_reclaims_space_for_cdc_tables(spark, tdir):
+    """expire_snapshots must actually delete superseded bucket data for
+    tables maintained by apply_batch (lineage lives outside snapshot
+    dirs, so old snap dirs become unreferenced)."""
+    log = gen_event_log(spark, n_events=1200, n_docs=100, batch_size=200, partitions=4)
+    t = replay_log(
+        IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=4),
+        log,
+        n_salts=4,
+    )
+    before = t.read().orderBy("doc_id").toPandas()
+    res = t.expire_snapshots(keep_last=2)
+    assert res["removed_dirs"] > 0, "CoW-superseded snapshot dirs must be reclaimed"
+    t2 = IceboxTable.load(spark, t.root)
+    assert_tables_equal(before, t2.read().orderBy("doc_id").toPandas())
+    # lineage history survives expiration (it is the metrics table)
+    assert t2.read_lineage().count() == t.read_lineage().count()
+
+
+def test_schema_evolution_through_delta_path(spark, tdir):
+    """Column-add arriving in a delta batch: older base/delta files read
+    back conformed (null-filled) through the MoR merge."""
+    from pyspark.sql.types import StructType
+
+    schema_no_src = StructType([f for f in BASE_SCHEMA.fields if f.name != "source"])
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), schema_no_src, n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(1, "insert", "a", [1], 1), (2, "insert", "b", [2], 1)],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int",
+    )
+    t = apply_batch(t, b0, 0, merge_strategy="delta")
+    b1 = spark.createDataFrame(
+        [(3, "update", "a", [1, 1], 2, "web")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    t = apply_batch(t, b1, 1, merge_strategy="delta")
+    rows = {r["doc_id"]: (r["tokens"], r["source"]) for r in t.read().collect()}
+    assert rows == {"a": ([1, 1], "web"), "b": ([2], None)}
+
+
+def test_rejected_batch_leaves_no_schema_evolution(spark, tdir):
+    """A batch that fails validation must not leave its schema evolution
+    behind to ride along with the next commit."""
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=4)
+    bad = spark.createDataFrame(
+        [(1, "frobnicate", "a", [1], 1, "s", "sneaky")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, "
+        "source string, extra_col string",
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_batch(t, bad, 0)
+    assert "extra_col" not in [f.name for f in t.schema.fields]
+    assert t.manifest["current_schema_id"] == 0
+
+
+def test_null_key_rejected(spark, tdir):
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=4)
+    bad = spark.createDataFrame(
+        [(1, "insert", None, [1], 1, "s"), (2, "insert", "b", [2], 1, "s")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="null doc_id"):
+        apply_batch(t, bad, 0)
+    assert IceboxTable.load(spark, t.root).snapshot_id == 0
+
+
+def test_commit_race_single_winner_without_precheck(spark, tdir):
+    """The TOCTOU hole: two writers both pass _check_current, then race
+    the manifest write. The exclusive snapshot-file publish must let
+    exactly one win even with the advisory check disabled."""
+    root = os.path.join(tdir, "t")
+    IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t1 = IceboxTable.load(spark, root)
+    t2 = IceboxTable.load(spark, root)
+    t1._check_current = lambda: None
+    t2._check_current = lambda: None
+    df = spark.createDataFrame([("a", [1], 1, "s")], BASE_SCHEMA)
+    t1.overwrite_all(df)  # wins
+    with pytest.raises(ConcurrentCommitError):
+        t2.overwrite_all(df)  # same snapshot name → exclusive create fails
+    assert IceboxTable.load(spark, root).snapshot_id == 1

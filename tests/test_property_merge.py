@@ -1,7 +1,9 @@
 """Property-based replay equivalence (hypothesis): ANY event log —
 including duplicate LSNs (redelivery), delete-before-insert, empty
 batches, all-delete batches, arbitrary batch boundaries — must replay
-to exactly the pandas oracle's state, under both merge strategies.
+to exactly the pandas oracle's state, under all three merge strategies
+(broadcast copy-on-write, shuffle, merge-on-read delta) and both dedup
+strategies (hash-agg max_by, salted window).
 
 The reference has no property tests at all (footprint-res/package.json:6
 is a no-op test script); this suite is the engine's upgrade of its
@@ -69,9 +71,14 @@ def _dedupe_ties(rows):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(events=log_st, splits=splits_st, strategy=st.sampled_from(["join", "shuffle"]))
+@given(
+    events=log_st,
+    splits=splits_st,
+    strategy=st.sampled_from(["join", "shuffle", "delta"]),
+    dedup=st.sampled_from(["agg", "window"]),
+)
 def test_any_log_any_batching_matches_oracle(
-    spark, tmp_path_factory, events, splits, strategy
+    spark, tmp_path_factory, events, splits, strategy, dedup
 ):
     rows = _dedupe_ties(_to_rows(events))
     tdir = str(tmp_path_factory.mktemp("prop"))
@@ -105,7 +112,9 @@ def test_any_log_any_batching_matches_oracle(
             batch = spark.createDataFrame([], schema)
         else:
             batch = df_all.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        t = apply_batch(t, batch, b, n_salts=2, merge_strategy=strategy)
+        t = apply_batch(
+            t, batch, b, n_salts=2, merge_strategy=strategy, dedup_strategy=dedup
+        )
         lo = hi
 
     import pandas as pd
