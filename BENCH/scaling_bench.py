@@ -59,8 +59,11 @@ else:
         table = IceboxTable.create(spark, os.path.join(work, "t"),
                                    E.BASE_SCHEMA, n_buckets=64)
         log = spark.read.parquet(ev_dir)
+        # "apply" = the steady-state merge-on-read ingest path;
+        # "apply_cow" = the copy-on-write broadcast-join path (r01 protocol)
+        strategy = "delta" if mode == "apply" else "auto"
         t0 = time.perf_counter()
-        table = replay_log(table, log)
+        table = replay_log(table, log, merge_strategy=strategy)
         el = time.perf_counter() - t0
         assert table.read().count() > 0
         print("RESULT", el)
@@ -90,17 +93,24 @@ def main() -> None:
     levels = [2, 8, 32]
 
     apply_t: dict[int, list[float]] = {k: [] for k in levels}
+    cow_t: dict[int, list[float]] = {k: [] for k in levels}
     cpu_t: dict[int, list[float]] = {k: [] for k in levels}
     for r in range(reps):
         for k in levels:  # interleave levels within each repetition
             el = run_once(k, "apply", n_events)
             apply_t[k].append(el)
-            print(f"rep {r} local[{k}] apply: {el:.1f}s "
+            print(f"rep {r} local[{k}] apply(mor): {el:.1f}s "
                   f"({n_events/el:,.0f} ev/s)", file=sys.stderr)
         for k in levels:
             el = run_once(k, "cpu", n_events)
             cpu_t[k].append(el)
             print(f"rep {r} local[{k}] cpu-ref: {el:.1f}s", file=sys.stderr)
+        if r == 0:  # one CoW comparison pass (the r01 protocol path)
+            for k in levels:
+                el = run_once(k, "apply_cow", n_events)
+                cow_t[k].append(el)
+                print(f"rep {r} local[{k}] apply(cow): {el:.1f}s "
+                      f"({n_events/el:,.0f} ev/s)", file=sys.stderr)
 
     med = {k: statistics.median(v) for k, v in apply_t.items()}
     cmed = {k: statistics.median(v) for k, v in cpu_t.items()}
@@ -115,6 +125,8 @@ def main() -> None:
     result = {
         "n_events": n_events,
         "reps": reps,
+        "merge_strategy": "delta (merge-on-read, steady-state path)",
+        "cow_apply_sec": {str(k): [round(x, 2) for x in v] for k, v in cow_t.items()},
         "apply_sec_median": {str(k): round(med[k], 2) for k in levels},
         "apply_events_per_sec": {str(k): round(tp[k], 1) for k in levels},
         "apply_sec_all": {str(k): [round(x, 2) for x in v] for k, v in apply_t.items()},

@@ -72,19 +72,36 @@ def bench_cdc_throughput(
         )
         ev.write.partitionBy("batch_id").parquet(events_dir)
 
-        table = IceboxTable.create(
-            spark, os.path.join(work, "table"), BASE_SCHEMA, n_buckets=n_buckets
-        )
         log = spark.read.parquet(events_dir)
+
+        # steady-state merge-on-read path (delta commits, O(batch) writes)
+        t_mor = IceboxTable.create(
+            spark, os.path.join(work, "t_mor"), BASE_SCHEMA, n_buckets=n_buckets
+        )
         t0 = time.perf_counter()
-        table = replay_log(table, log, n_salts=n_salts)
-        elapsed = time.perf_counter() - t0
-        final_rows = table.read().count()
+        t_mor = replay_log(t_mor, log, n_salts=n_salts, merge_strategy="delta")
+        mor_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t_mor = t_mor.compact_if_needed(ratio=0.5)
+        compact_sec = time.perf_counter() - t0
+        final_rows = t_mor.read().count()
+
+        # copy-on-write broadcast-join path (r01 protocol, comparable)
+        t_cow = IceboxTable.create(
+            spark, os.path.join(work, "t_cow"), BASE_SCHEMA, n_buckets=n_buckets
+        )
+        t0 = time.perf_counter()
+        t_cow = replay_log(t_cow, log, n_salts=n_salts)
+        cow_sec = time.perf_counter() - t0
+
         return {
             "cdc_events": n_events,
             "cdc_batches": n_batches,
-            "cdc_apply_sec": round(elapsed, 3),
-            "cdc_events_per_sec": round(n_events / elapsed, 1),
+            "cdc_apply_sec": round(mor_sec, 3),
+            "cdc_events_per_sec": round(n_events / mor_sec, 1),
+            "cdc_compact_sec": round(compact_sec, 3),
+            "cdc_apply_cow_sec": round(cow_sec, 3),
+            "cdc_events_per_sec_cow": round(n_events / cow_sec, 1),
             "cdc_final_rows": final_rows,
         }
     finally:
@@ -115,7 +132,11 @@ def main() -> None:
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": {"cdc_apply": cdc["cdc_apply_sec"], **queries},
+        "queries": {
+            "cdc_apply": cdc["cdc_apply_sec"],
+            "cdc_apply_cow": cdc["cdc_apply_cow_sec"],
+            **queries,
+        },
         "sf": sf,
         "cpus": cpus,
         **cdc,

@@ -340,8 +340,9 @@ def apply_batch(
                 F.col("lsn").alias("_lsn"),
                 (F.col("op") == "delete").alias("_tombstone"),
             )
+            bucket_rows = {int(r["_b"]): int(r["n"]) for r in stats if r["n"]}
             return table.commit_delta(
-                deltas, touched, tag=tag, lineage=lineage, summary=summary
+                deltas, bucket_rows, tag=tag, lineage=lineage, summary=summary
             )
 
         # target rows (incl. tombstones) of touched buckets only — the

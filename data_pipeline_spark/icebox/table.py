@@ -2,23 +2,29 @@
 
 On-disk layout (all paths relative to the table root):
 
-    metadata/CURRENT            -> "snap-00000007.json" (atomic-rename swap)
+    metadata/CURRENT            -> "snap-00000007.json" (atomic swap)
     metadata/snap-00000007.json -> full manifest (immutable, never edited)
-    data/snap-00000007/_b=3/*.parquet   (files of buckets rewritten at s7)
-    data/snap-00000007/lineage/*.parquet
+    data/snap-00000007-<uid>/_b=3/*.parquet  (base: buckets rewritten at s7)
+    data/snap-00000009-<uid>/*.parquet       (delta: one compact file set,
+                                              _b stored as a data column)
+    data/lineage/snap-.../lineage.parquet
 
 Manifest (JSON):
     snapshot_id, parent_id, tag, committed_tags (cumulative),
     n_buckets, current_schema_id, schemas {id: spark-schema-json},
-    buckets {bucket: {"path": <leaf dir>, "schema_id": id}},
+    buckets {bucket: {"path": <leaf dir>, "schema_id": id, "rows": n}},
+    deltas [{"path": dir, "schema_id": id,
+             "bucket_rows": {bucket: n, ...}}, ...]  (commit order),
     lineage_paths [ ... cumulative ... ], summary {...}
 
 Invariants:
   * data files are immutable; a snapshot's file set is fully described by
     its own manifest → time travel = read an old manifest;
-  * a bucket maps to exactly ONE leaf dir (the snapshot that last rewrote
-    it) because merges are copy-on-write per bucket;
-  * commit = write manifest file (new name) then os.replace CURRENT —
+  * a bucket's BASE maps to exactly ONE leaf dir (the snapshot that last
+    rewrote it); merge-on-read delta commits layer on top in list order,
+    and compaction prunes a bucket from delta entries' bucket_rows
+    without touching the immutable delta files;
+  * commit = exclusive-create manifest file then os.replace CURRENT —
     atomic on POSIX; a crash anywhere earlier leaves orphans only.
 
 Driver-side work per commit is O(#touched buckets), never O(#events).
@@ -113,6 +119,7 @@ class IceboxTable:
             "current_schema_id": 0,
             "schemas": {"0": schema.json()},
             "buckets": {},
+            "deltas": [],
             "lineage_paths": [],
             "summary": {"operation": "create"},
         }
@@ -155,12 +162,14 @@ class IceboxTable:
 
     @property
     def total_rows(self) -> int:
-        """Physical row count (incl. tombstones and delta rows) from
-        bucket metadata; 0 for pre-row-tracking manifests (heuristics
+        """Physical row count (incl. tombstones and live delta rows) from
+        manifest metadata; 0 for pre-row-tracking manifests (heuristics
         treat that as 'unknown, assume small')."""
         return sum(
-            e.get("rows", 0) + sum(d["rows"] for d in e.get("deltas") or [])
-            for e in self.manifest["buckets"].values()
+            e.get("rows", 0) for e in self.manifest["buckets"].values()
+        ) + sum(
+            sum(d["bucket_rows"].values())
+            for d in self.manifest.get("deltas") or []
         )
 
     def bucket_of(self):
@@ -219,52 +228,68 @@ class IceboxTable:
         cur_schema = self.schema
         phys_target = StructType([*cur_schema.fields, *INTERNAL_FIELDS])
         entries = self.manifest["buckets"]
-        if buckets is not None:
-            wanted = {str(b) for b in buckets}
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        if wanted is not None:
             entries = {b: e for b, e in entries.items() if b in wanted}
 
-        # clean buckets (no deltas): read base files grouped by schema.
-        # delta'd buckets (merge-on-read): base gets _seq=0, the i-th
-        # delta commit gets _seq=i+1, then one hash aggregate picks the
-        # LWW row per key via max_by over (_lsn, _seq) — later commits
-        # win exact-LSN ties, identical to the copy-on-write plans'
-        # `>=` / `_in DESC` tie-break. Keys never cross buckets
-        # (bucket = f(key)), so one aggregate over all delta'd buckets
-        # is per-bucket-correct.
-        clean_groups: dict[str, list[str]] = {}
-        mor_groups: dict[tuple[str, int], list[str]] = {}
-        for e in entries.values():
-            deltas = e.get("deltas") or []
-            base = e.get("path")
-            if not deltas:
-                if base is not None:
-                    clean_groups.setdefault(str(e["schema_id"]), []).append(
-                        os.path.join(self.root, base)
-                    )
-                continue
-            if base is not None:
-                mor_groups.setdefault((str(e["schema_id"]), 0), []).append(
-                    os.path.join(self.root, base)
-                )
-            for i, d in enumerate(deltas):
-                mor_groups.setdefault((str(d["schema_id"]), i + 1), []).append(
-                    os.path.join(self.root, d["path"])
-                )
+        # which wanted buckets have live delta rows (merge-on-read)?
+        delta_entries = self.manifest.get("deltas") or []
+        mor_buckets: set[str] = set()
+        for d in delta_entries:
+            live = set(d["bucket_rows"])
+            mor_buckets |= live if wanted is None else (live & wanted)
 
-        def _read_group(sid: str, paths: list[str]) -> DataFrame:
+        def _read_group(sid: str, paths: list[str], with_b: bool) -> DataFrame:
             logical = StructType.fromJson(json.loads(self.manifest["schemas"][sid]))
-            file_schema = StructType([*logical.fields, *INTERNAL_FIELDS])
-            df = self.spark.read.schema(file_schema).parquet(*paths)
-            return _conform(df, phys_target)
+            fields = [*logical.fields, *INTERNAL_FIELDS]
+            if with_b:
+                fields = [StructField("_b", IntegerType()), *fields]
+            df = self.spark.read.schema(StructType(fields)).parquet(*paths)
+            return df
 
+        # clean buckets: base files only, grouped by schema generation
+        clean_groups: dict[str, list[str]] = {}
+        mor_base_groups: dict[str, list[str]] = {}
+        for b, e in entries.items():
+            if e.get("path") is None:
+                continue
+            tgt = mor_base_groups if b in mor_buckets else clean_groups
+            tgt.setdefault(str(e["schema_id"]), []).append(
+                os.path.join(self.root, e["path"])
+            )
         parts = [
-            _read_group(sid, paths) for sid, paths in sorted(clean_groups.items())
+            _conform(_read_group(sid, paths, with_b=False), phys_target)
+            for sid, paths in sorted(clean_groups.items())
         ]
-        if mor_groups:
-            mor_parts = [
-                _read_group(sid, paths).withColumn("_seq", F.lit(seq))
-                for (sid, seq), paths in sorted(mor_groups.items())
-            ]
+
+        # merge-on-read: base files get _seq=0, the i-th delta commit gets
+        # _seq=i+1 (each filtered to its LIVE buckets — compaction prunes
+        # buckets from bucket_rows without rewriting the delta file), then
+        # one hash aggregate picks the LWW row per key via max_by over
+        # (_lsn, _seq) — later commits win exact-LSN ties, identical to
+        # the copy-on-write plans' `>=` / `_in DESC` tie-break. Keys never
+        # cross buckets (bucket = f(key)), so one aggregate over all
+        # delta'd buckets is per-bucket-correct.
+        mor_parts = [
+            _conform(_read_group(sid, paths, with_b=False), phys_target).withColumn(
+                "_seq", F.lit(0)
+            )
+            for sid, paths in sorted(mor_base_groups.items())
+        ]
+        for i, d in enumerate(delta_entries):
+            live = set(d["bucket_rows"]) if wanted is None else (
+                set(d["bucket_rows"]) & wanted
+            )
+            if not live:
+                continue
+            df = _read_group(str(d["schema_id"]), [os.path.join(self.root, d["path"])],
+                             with_b=True)
+            # rows sorted by _b at write → row-group min/max stats prune
+            df = df.filter(F.col("_b").isin([int(b) for b in live]))
+            mor_parts.append(
+                _conform(df, phys_target).withColumn("_seq", F.lit(i + 1))
+            )
+        if mor_parts:
             u = mor_parts[0]
             for p in mor_parts[1:]:
                 u = u.unionByName(p)
@@ -361,6 +386,20 @@ class IceboxTable:
             else:
                 new_buckets.pop(str(b), None)  # bucket emptied by deletes
 
+        # the rewrite holds the COMPLETE new contents of touched buckets,
+        # so any delta rows for them are now folded in: prune those
+        # buckets from every delta entry (files are left in place —
+        # immutable — and reclaimed by expire_snapshots once no kept
+        # manifest's entries reference them)
+        touched_strs = {str(b) for b in touched_buckets}
+        new_deltas = []
+        for d in self.manifest.get("deltas") or []:
+            remaining = {
+                b: n for b, n in d["bucket_rows"].items() if b not in touched_strs
+            }
+            if remaining:
+                new_deltas.append({**d, "bucket_rows": remaining})
+
         lineage_paths = list(self.manifest["lineage_paths"])
         if lineage is not None:
             if isinstance(lineage, DataFrame):
@@ -381,6 +420,7 @@ class IceboxTable:
             "tag": tag,
             "committed_tags": self.manifest["committed_tags"] + ([tag] if tag else []),
             "buckets": new_buckets,
+            "deltas": new_deltas,
             "lineage_paths": lineage_paths,
             "summary": summary or {},
         }
@@ -390,17 +430,24 @@ class IceboxTable:
     def commit_delta(
         self,
         deltas: DataFrame,
-        touched_buckets: list[int],
+        bucket_rows: dict[int, int],
         tag: str | None = None,
         lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
     ) -> "IceboxTable":
-        """Merge-on-read commit: append per-bucket delta files instead of
-        rewriting buckets. `deltas` holds the batch's deduped winners
+        """Merge-on-read commit: append ONE compact delta file set instead
+        of rewriting buckets. `deltas` holds the batch's deduped winners
         (payload + `_b` + `_lsn` + `_tombstone`, one row per key, deletes
-        as tombstone rows). Write cost is O(batch) — copy-on-write's
-        O(touched-table) amplification (a uniformly-spread micro-batch
-        rewrites every bucket) never happens. Reads LWW-merge
+        as tombstone rows); `bucket_rows` maps touched bucket → winner
+        count (the caller's stats — no parquet footer reads needed).
+
+        Write cost is O(batch) — copy-on-write's O(touched-table)
+        amplification (a uniformly-spread micro-batch rewrites every
+        bucket) never happens, and a small micro-batch writes a SINGLE
+        file, not #buckets hive-partitioned ones (per-commit file-commit
+        overhead is what caps small-batch throughput). `_b` is stored as a
+        data column, rows sorted by (_b, key), so bucket-pruned reads skip
+        foreign row groups via parquet min/max stats. Reads LWW-merge
         base ∪ deltas per key on (_lsn, commit order); compact_if_needed
         folds deltas back into base files.
 
@@ -417,42 +464,25 @@ class IceboxTable:
         snap_abs = os.path.join(self.root, snap_rel)
 
         cols = [f.name for f in self.schema.fields] + INTERNAL_NAMES
-        out = deltas.select("_b", *cols).repartition(
-            max(len(touched_buckets), 1), "_b"
-        )
+        n_rows = sum(bucket_rows.values())
+        # ~30k token rows ≈ 20 MB per write task; tiny batches → one task
+        npart = max(1, min(n_rows // 30_000 + 1, 1024))
         (
-            out.sortWithinPartitions("_b", self.key)
-            .write.partitionBy("_b")
-            .mode("overwrite")
+            deltas.select("_b", *cols)
+            .repartition(npart, "_b")
+            .sortWithinPartitions("_b", self.key)
+            .write.mode("overwrite")
             .parquet(snap_abs)
         )
 
-        written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(snap_abs)
-            if d.startswith("_b=")
-        }
-        cur_sid = self.manifest["current_schema_id"]
-        new_buckets = dict(self.manifest["buckets"])
-        for b in touched_buckets:
-            if b not in written:
-                continue
-            bdir = os.path.join(snap_abs, f"_b={b}")
-            old = new_buckets.get(str(b))
-            entry = (
-                {**old, "deltas": list(old.get("deltas") or [])}
-                if old is not None
-                # first write to this bucket arrives as a delta: no base
-                else {"path": None, "schema_id": cur_sid, "rows": 0, "deltas": []}
-            )
-            entry["deltas"].append(
-                {
-                    "path": os.path.join(snap_rel, f"_b={b}"),
-                    "schema_id": cur_sid,
-                    "rows": _parquet_rows(bdir),
-                }
-            )
-            new_buckets[str(b)] = entry
+        new_deltas = list(self.manifest.get("deltas") or [])
+        new_deltas.append(
+            {
+                "path": snap_rel,
+                "schema_id": self.manifest["current_schema_id"],
+                "bucket_rows": {str(b): int(n) for b, n in bucket_rows.items()},
+            }
+        )
 
         lineage_paths = list(self.manifest["lineage_paths"])
         if lineage is not None:
@@ -468,7 +498,7 @@ class IceboxTable:
             "parent_id": self.snapshot_id,
             "tag": tag,
             "committed_tags": self.manifest["committed_tags"] + ([tag] if tag else []),
-            "buckets": new_buckets,
+            "deltas": new_deltas,
             "lineage_paths": lineage_paths,
             "summary": summary or {},
         }
@@ -481,19 +511,22 @@ class IceboxTable:
         min_deltas: int = 1,
         tag: str | None = None,
     ) -> "IceboxTable":
-        """Maintenance: fold delta files back into base files for buckets
+        """Maintenance: fold delta rows back into base files for buckets
         whose accumulated delta rows exceed `ratio` × base rows (or whose
         base is empty). One copy-on-write commit covering every chosen
         bucket (the MoR read view IS the merge); a no-op returns self.
         Compaction moves no logical data, so it needs no exactly-once tag
         and is safe to re-run after a crash."""
+        per_bucket: dict[str, tuple[int, int]] = {}  # b -> (delta_rows, n_deltas)
+        for d in self.manifest.get("deltas") or []:
+            for b, n in d["bucket_rows"].items():
+                dr, nd = per_bucket.get(b, (0, 0))
+                per_bucket[b] = (dr + n, nd + 1)
         chosen = []
-        for b, e in self.manifest["buckets"].items():
-            deltas = e.get("deltas") or []
-            if len(deltas) < min_deltas:
+        for b, (drows, ndeltas) in per_bucket.items():
+            if ndeltas < min_deltas:
                 continue
-            drows = sum(d["rows"] for d in deltas)
-            base_rows = e.get("rows", 0)
+            base_rows = self.manifest["buckets"].get(b, {}).get("rows", 0)
             if base_rows == 0 or drows >= ratio * base_rows:
                 chosen.append(int(b))
         if not chosen:
@@ -534,8 +567,8 @@ class IceboxTable:
             for e in m["buckets"].values():
                 if e.get("path") is not None:
                     referenced.add(e["path"].split(os.sep)[1])  # data/<dir>/_b=k
-                for d in e.get("deltas") or []:
-                    referenced.add(d["path"].split(os.sep)[1])
+            for d in m.get("deltas") or []:
+                referenced.add(d["path"].split(os.sep)[1])
             for p in m["lineage_paths"]:
                 referenced.add(p.split(os.sep)[1])
         data_dir = os.path.join(self.root, "data")

@@ -25,9 +25,7 @@ from .test_cdc_apply import BASE_SCHEMA, PAYLOAD
 
 def _delta_rows(t: IceboxTable) -> int:
     return sum(
-        d["rows"]
-        for e in t.manifest["buckets"].values()
-        for d in e.get("deltas") or []
+        sum(d["bucket_rows"].values()) for d in t.manifest.get("deltas") or []
     )
 
 
@@ -36,13 +34,12 @@ def _base_rows(t: IceboxTable) -> int:
 
 
 def _n_data_files(t: IceboxTable) -> int:
+    paths = [e["path"] for e in t.manifest["buckets"].values() if e.get("path")]
+    paths += [d["path"] for d in t.manifest.get("deltas") or []]
     n = 0
-    for e in t.manifest["buckets"].values():
-        for p in [e.get("path")] + [d["path"] for d in e.get("deltas") or []]:
-            if p is None:
-                continue
-            d = os.path.join(t.root, p)
-            n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    for p in paths:
+        d = os.path.join(t.root, p)
+        n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
     return n
 
 
