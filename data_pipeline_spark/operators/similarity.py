@@ -119,6 +119,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 2,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Approximate all-neighbors top-k: candidates share an LSH bucket in
     any table; exact cosine re-rank within candidates.
@@ -126,6 +127,14 @@ def lsh_bucket_topk(
     Output: (query_id, neighbor_id, cos, rank) — rank over FOUND
     candidates (recall < 1 vs cosine_topk is expected; that gap is the
     approximation, not a bug).
+
+    Skew containment: clustered embeddings pile into one hot bucket, and
+    an uncapped self-join yields m² candidate pairs there. The NEIGHBOR
+    side of the join is therefore capped at `max_bucket_size` members per
+    (table, bucket), chosen by a deterministic pseudo-random ranking
+    (h64-style hash of the id) — every vector still queries its full
+    bucket, so per-query fan-out is ≤ max_bucket_size per table and total
+    pairs are O(m · cap), never O(m²). Pass None to disable.
     """
     v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
     tables = [
@@ -139,9 +148,19 @@ def lsh_bucket_topk(
     bb = tables[0]
     for t in tables[1:]:
         bb = bb.unionByName(t)
+    rb = bb
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("tbl", "bucket").orderBy(
+            F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        rb = (
+            bb.withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= max_bucket_size)
+            .drop("_r")
+        )
     cand = (
         bb.alias("l")
-        .join(bb.alias("r"), ["tbl", "bucket"])
+        .join(rb.alias("r"), ["tbl", "bucket"])
         .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("query_id"),

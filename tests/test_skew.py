@@ -45,3 +45,26 @@ def test_salted_phase_spreads_hot_key(spark):
     # the salted plan contains two window nodes (phase 1 + phase 2)
     plan = lww_dedup(log, n_salts=8)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("window") >= 2
+
+
+def test_ann_hot_bucket_bounded(spark):
+    """Degenerate ANN skew: all vectors identical → every vector lands in
+    the SAME LSH bucket in every table. The per-bucket neighbor cap must
+    bound candidate fan-out (≤ cap per query per table) instead of going
+    m² over the hot bucket."""
+    from data_pipeline_spark.operators import similarity as S
+
+    n = 1000
+    vecs = spark.range(n).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("embedding"),
+    )
+    out = S.lsh_bucket_topk(
+        vecs, k=5, dim=8, n_planes=4, n_tables=2, max_bucket_size=8
+    ).toPandas()
+    # every query found candidates, but never more than the cap allows
+    per_q = out.groupby("query_id").size()
+    assert len(per_q) == n
+    assert per_q.max() <= 5 and out["rank"].max() <= 5
+    # total scored pairs bounded by n × cap × tables, nowhere near n²
+    assert len(out) <= n * 8 * 2
