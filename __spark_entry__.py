@@ -133,6 +133,45 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read replay: the same LWW replay contract through DELTA
+    commits (O(batch) writes) with mid-stream compaction, then a
+    bucket-split (partition evolution) — the final state must still equal
+    the window-LWW oracle bit-for-bit."""
+    key = (3000, 300, 1000, 20, "mor")
+    if key in _REPLAY_CACHE:
+        table = IceboxTable.load(spark, _REPLAY_CACHE[key])
+    else:
+        root = os.path.join(tempfile.mkdtemp(prefix="icebox_mor_"), "t")
+        table = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+        ev = gen_event_log_portable(spark, 3000, 300, batch_size=1000, hot_pct=20)
+        bids = sorted(r["batch_id"] for r in ev.select("batch_id").distinct().collect())
+        for i, b in enumerate(bids):
+            table = apply_batch(
+                table, ev.filter(F.col("batch_id") == b), b,
+                n_salts=8, merge_strategy="delta",
+            )
+            if i == 1:
+                table = table.compact_if_needed(ratio=0.0)
+        table = table.split_buckets(factor=2)
+        _REPLAY_CACHE[key] = root
+    return table.read().select(
+        "doc_id",
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+def _sql_cdc_mor_replay() -> str:
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
     return (
@@ -847,6 +886,27 @@ FROM events GROUP BY event_type
 """
 
 
+def q_json_tolerant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 tolerant parse (the reference swallows trailing commas in
+    hand-built JSON, grid-and-attrs/app.js:151): inject a trailing comma
+    into every props object, repair it with the engine's pre-parse
+    normalization, extract the pinned path."""
+    e = _t(spark, sf_dir, "events")
+    broken = F.regexp_replace("props", r"\}$", ",}")
+    repaired = F.regexp_replace(broken, r",\s*\}", "}")
+    return e.select(
+        "event_id",
+        F.get_json_object(repaired, "$.k").cast("int").alias("k"),
+    )
+
+
+_SQL_JSON_TOLERANT_PARSE = r"""
+SELECT event_id,
+       CAST(json_extract(regexp_replace(regexp_replace(props, '\}$', ',}'), ',\s*\}', '}'), '$.k') AS INT) AS k
+FROM events
+"""
+
+
 def q_self_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J2: bucketed equi self-join (user_id as the bucket key — the
     reference's grid-cell pairing, resolve-footprints.scala:135-168) with
@@ -978,6 +1038,7 @@ WHERE i*64 < length(ft)
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_lineage": q_cdc_lineage,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_time_travel": q_cdc_time_travel,
@@ -1008,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "embed_stats": q_embed_stats,
         "json_props": q_json_props,
+        "json_tolerant_parse": q_json_tolerant_parse,
         "self_band_join": q_self_band_join,
         "tok_repair": q_tok_repair,
         "tok_truncate_pad": q_tok_truncate_pad,
@@ -1019,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": _sql_cdc_replay_final_state(),
+        "cdc_mor_replay": _sql_cdc_mor_replay(),
         "cdc_lineage": _sql_cdc_lineage(),
         "cdc_schema_evolution": _sql_cdc_schema_evolution(),
         "cdc_time_travel": _sql_cdc_time_travel(),
@@ -1049,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _SQL_DOC_CHUNKS,
         "embed_stats": _SQL_EMBED_STATS,
         "json_props": _SQL_JSON_PROPS,
+        "json_tolerant_parse": _SQL_JSON_TOLERANT_PARSE,
         "self_band_join": _SQL_SELF_BAND_JOIN,
         "tok_repair": _sql_tok_repair(),
         "tok_truncate_pad": _sql_tok_truncate_pad(),

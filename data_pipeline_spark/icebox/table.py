@@ -541,6 +541,35 @@ class IceboxTable:
             summary={"operation": "compact", "buckets": len(chosen)},
         )
 
+    def split_buckets(self, factor: int = 2) -> "IceboxTable":
+        """Partition evolution: multiply n_buckets by `factor` and rewrite
+        the data into the finer layout (one-time maintenance commit, the
+        engine's answer to 'n_buckets is fixed at create' — at 100 TB a
+        bucket outgrowing its rewrite budget gets split before it hurts).
+
+        Because bucket = pmod(xxhash64(key), n), new = old × factor means
+        h mod (f·n) ≡ h mod n (mod n): every old bucket's rows land in
+        exactly `factor` new buckets — the rewrite is per-old-bucket
+        local, no cross-bucket shuffle is semantically required. Old
+        snapshots keep their own n_buckets in their manifests, so time
+        travel across the split stays correct.
+        """
+        if factor < 2:
+            raise ValueError("factor must be ≥ 2")
+        new_n = self.n_buckets * factor
+        merged = self.read(internal=True)
+        old_n = self.n_buckets
+        self.manifest = {**self.manifest, "n_buckets": new_n}
+        merged = merged.withColumn("_b", self.bucket_of())
+        # range(new_n) ⊇ range(old_n): commit_rewrite prunes every old
+        # bucket id from delta entries (the read above folded deltas in)
+        touched = list(range(new_n))
+        return self.commit_rewrite(
+            merged,
+            touched,
+            summary={"operation": "split_buckets", "from": old_n, "to": new_n},
+        )
+
     def expire_snapshots(self, keep_last: int = 5) -> dict:
         """Iceberg-style maintenance: drop manifests older than the last
         `keep_last` snapshots and delete data directories no kept

@@ -170,3 +170,49 @@ def test_concurrent_commit_rejected(spark, tdir):
         t2.overwrite_all(df)
     # reload-and-retry works
     IceboxTable.load(spark, root).overwrite_all(df)
+
+
+def test_split_buckets_partition_evolution(spark, tdir):
+    """Bucket split: finer layout, identical contents, pruned reads and
+    further CDC applies keep working; time travel across the split sees
+    the OLD layout."""
+    from data_pipeline_spark.cdc import apply_batch
+
+    root = os.path.join(tdir, "tsplit")
+    schema = StructType([*BASE_SCHEMA.fields, StructField("source", StringType())])
+    t = IceboxTable.create(spark, root, schema, n_buckets=4)
+    docs = [(f"doc_{i}", [i], 1, "s") for i in range(40)]
+    t = t.overwrite_all(spark.createDataFrame(docs, schema))
+    # layer a delta on top so the split also exercises delta folding
+    ev = spark.createDataFrame(
+        [(100, "update", "doc_3", [3, 3], 2, "s2"), (101, "delete", "doc_4", None, None, None)],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    t = apply_batch(t, ev, 0, merge_strategy="delta")
+    before = t.read().orderBy("doc_id").collect()
+    pre_split_sid = t.snapshot_id
+
+    t = t.split_buckets(factor=2)
+    assert t.n_buckets == 8
+    assert not t.manifest["deltas"]
+    assert t.read().orderBy("doc_id").collect() == before
+
+    # pruned read agrees with the new bucket expr
+    full = t.read().withColumn("_b", t.bucket_of())
+    for b in range(8):
+        want = {r["doc_id"] for r in full.filter(F.col("_b") == b).collect()}
+        got = {r["doc_id"] for r in t.read(buckets=[b]).collect()}
+        assert got == want, b
+
+    # further applies work against the finer layout
+    ev2 = spark.createDataFrame(
+        [(200, "insert", "doc_99", [9], 1, "s")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    t = apply_batch(t, ev2, 1, merge_strategy="delta")
+    assert t.read().filter(F.col("doc_id") == "doc_99").count() == 1
+
+    # time travel to before the split sees the old layout + old contents
+    old = IceboxTable.load(spark, root, snapshot_id=pre_split_sid)
+    assert old.n_buckets == 4
+    assert old.read().orderBy("doc_id").collect() == before
