@@ -2,7 +2,9 @@
 run_stream (foreachBatch → exactly-once icebox commits) and report
 events/sec end-to-end, including epoch scheduling and checkpointing.
 
-Usage: python BENCH/stream_bench.py [events] [files_per_trigger]
+Usage: python BENCH/stream_bench.py [events] [files_per_trigger] [strategy]
+(strategy: auto = copy-on-write; delta = merge-on-read with inline
+compaction at ratio 0.5 — the steady-state production shape)
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ import __spark_entry__ as E  # noqa: E402
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     fpt = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    strategy = sys.argv[3] if len(sys.argv) > 3 else "auto"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         "stream_bench",
@@ -49,6 +52,8 @@ def main() -> None:
         run_stream(
             spark, ev_dir, schema, os.path.join(work, "t"),
             os.path.join(work, "ckpt"), max_files_per_trigger=fpt,
+            merge_strategy=strategy,
+            compact_ratio=0.5 if strategy == "delta" else None,
         )
         el = time.perf_counter() - t0
         final = IceboxTable.load(spark, os.path.join(work, "t"))
@@ -60,6 +65,7 @@ def main() -> None:
             "events": n_events,
             "epochs": final.snapshot_id,
             "files_per_trigger": fpt,
+            "strategy": strategy,
             "cpus": cpus,
             "final_rows": final.read().count(),
         }))

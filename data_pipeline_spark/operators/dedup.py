@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.portable import h64, shingles, words
+from .util import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -86,7 +87,7 @@ def minhash_signature(
     Pure column expressions — no shuffle, no UDF.
     """
     hs = F.transform(shingles(F.col(text_col), k=shingle), lambda s: h64(s))
-    staged = df.select(F.col(id_col), hs.alias("_hs"))
+    staged = ensure_parallelism(df).select(F.col(id_col), hs.alias("_hs"))
 
     def _mix(a: int, b: int):
         return lambda h: (F.lit(a) * F.pmod(h, F.lit(MINHASH_P)) + F.lit(b)) % F.lit(
@@ -153,7 +154,7 @@ def simhash(
     per-(doc, bit) signed counts → bit-OR reassembly; every step is a
     plain groupBy (hash-partitioned map-side-combined agg).
     """
-    wh = df.select(
+    wh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(words(text_col)).alias("w")
     ).select(id_col, h64("w").alias("h"))
     per_bit = (
@@ -226,7 +227,7 @@ def ngram_jaccard_pairs(
         base = df.join(cand_ids, df[id_col] == F.col("cid"), "left_semi")
     else:
         base = df
-    sh = base.select(
+    sh = ensure_parallelism(base).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), k=shingle))).alias("s"),
     )

@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions.portable import h64, norm_text, words
+from .util import ensure_parallelism
 
 # tiny per-language stopword profiles (public common function words).
 STOPWORDS = {
@@ -52,7 +53,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     scores = [
         F.size(F.filter(w, _in_stopwords(lng))).alias(f"s_{lng}") for lng in LANGS
     ]
-    scored = df.select(F.col(id_col), *scores)
+    scored = ensure_parallelism(df).select(F.col(id_col), *scores)
     best = F.greatest(*[F.col(f"s_{lng}") for lng in LANGS])
     pick = F.coalesce(
         *[F.when(F.col(f"s_{lng}") == best, F.lit(lng)) for lng in LANGS]
@@ -85,7 +86,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     punct_ratio = n_punct / F.greatest(n_words, F.lit(1))
     len_score = F.least(n_words / F.lit(20.0), F.lit(1.0))
     score = len_score * (F.lit(0.5) + F.lit(0.5) * F.least(stop_ratio * 5, F.lit(1.0)))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("int").alias("n_words"),
@@ -101,7 +102,7 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """Whitespace token count + BPE-ish regex token count + chars/token."""
     n_ws = F.size(words(text_col))
     n_bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         n_ws.cast("int").alias("n_ws_tokens"),
         n_bpe.cast("int").alias("n_bpe_tokens"),
@@ -125,7 +126,7 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     # inside the transform lambda (quadratic — measured 130s vs ~2s on
     # 5k docs). SPARK-36718 keeps non-cheap multi-referenced projections
     # from collapsing back in.
-    staged = df.select(
+    staged = ensure_parallelism(df).select(
         F.col(id_col), norm_text(text_col).alias("_nrm")
     ).select(
         F.col(id_col), F.col("_nrm"), shingles(F.col("_nrm"), k=8).alias("_sh")

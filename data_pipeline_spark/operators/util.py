@@ -1,0 +1,23 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition UP to the session's default parallelism when the input
+    plan yields fewer partitions.
+
+    Why: a small parquet file arrives as ONE split, which serializes
+    expensive per-row work (md5 shingling, regex scoring) onto a single
+    core — the sf0.1 documents table ran the whole MinHash pipeline
+    1-task. At scale this is a no-op: 100 TB of input yields far more
+    splits than cores, so no shuffle is ever added on the big path.
+    Checking getNumPartitions costs physical planning only, no job.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

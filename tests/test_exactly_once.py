@@ -88,3 +88,36 @@ def test_duplicate_lsn_redelivery(spark, tdir):
     # batch 1 arrives with batch 0's events duplicated inside it
     t2 = apply_batch(t2, b1.unionByName(b0.withColumn("batch_id", F.lit(1))), 1)
     assert_tables_equal(t2.read().toPandas(), clean)
+
+
+def test_out_of_order_batches_converge_delta(spark, tdir):
+    """Same order-independence contract through merge-on-read: delta
+    commit order (_seq) differs from LSN order, and the read-side
+    max_by(_lsn, _seq) must still resolve to the LWW state."""
+    log = gen_event_log(spark, n_events=1000, n_docs=120, batch_size=200, partitions=4)
+    batches = _batches(log)
+
+    t_ord = _mk(spark, tdir, "d_ordered")
+    for b, df in batches:
+        t_ord = apply_batch(t_ord, df, b, merge_strategy="delta")
+
+    shuffled = list(batches)
+    random.Random(11).shuffle(shuffled)
+    assert [b for b, _ in shuffled] != [b for b, _ in batches]
+    t_shuf = _mk(spark, tdir, "d_shuffled")
+    for b, df in shuffled:
+        t_shuf = apply_batch(t_shuf, df, b, merge_strategy="delta")
+
+    assert_tables_equal(t_shuf.read().toPandas(), t_ord.read().toPandas())
+
+
+def test_double_apply_is_noop_delta(spark, tdir):
+    log = gen_event_log(spark, n_events=600, n_docs=80, batch_size=200, partitions=4)
+    t = _mk(spark, tdir, "d_noop")
+    for b, df in _batches(log):
+        t = apply_batch(t, df, b, merge_strategy="delta")
+        sid = t.snapshot_id
+        t = apply_batch(t, df, b, merge_strategy="delta")  # replay
+        assert t.snapshot_id == sid
+        # a replayed delta batch must not append a second delta entry
+        assert len(t.manifest["deltas"]) == b + 1
