@@ -645,6 +645,27 @@ WHERE rank <= 3
 """
 
 
+def q_embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization (the scale path for ANN alongside LSH):
+    every vector assigned to its nearest-of-64 deterministic pivots."""
+    return S.ivf_assign(_t(spark, sf_dir, "embeddings"), n_pivots=64)
+
+
+_SQL_EMBED_IVF_ASSIGN = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+p AS (SELECT vec_id AS pivot_id, ve AS pv FROM v WHERE vec_id < 64),
+sc AS (
+  SELECT v.vec_id AS vec_id, pivot_id,
+         list_sum(list_transform(range(1, 65), i -> ve[i] * pv[i])) /
+         (sqrt(list_sum(list_transform(range(1, 65), i -> ve[i] * ve[i]))) *
+          sqrt(list_sum(list_transform(range(1, 65), i -> pv[i] * pv[i])))) AS c
+  FROM v, p)
+SELECT vec_id, pivot_id, round(c, 6) AS cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, pivot_id) rn FROM sc)
+WHERE rn = 1
+"""
+
+
 def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -1059,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embed_cosine_topk": q_embed_cosine_topk,
+        "embed_ivf_assign": q_embed_ivf_assign,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1102,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,
         "embed_cosine_topk": _SQL_EMBED_COSINE_TOPK,
+        "embed_ivf_assign": _SQL_EMBED_IVF_ASSIGN,
         "embed_lsh_buckets": _sql_embed_lsh_buckets(),
         "text_lang_id": _sql_text_lang_id(),
         "text_quality": _sql_text_quality(),

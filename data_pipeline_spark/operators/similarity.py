@@ -81,6 +81,86 @@ def cosine_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_pivots: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest pivot.
+
+    Pivots are the first `n_pivots` vectors by id — a deterministic,
+    engine-independent choice (disclosed simplification of k-means
+    training; the INDEX structure and probe path are the real thing).
+    Plan shape: broadcast(pivots) nested-loop over the corpus + map-side
+    top-1 (WindowGroupLimit) — the corpus never shuffles more than one
+    exchange, pivots are O(n_pivots · dim) broadcast bytes.
+
+    Output: (id, pivot_id, cos) — the inverted-file table; cluster
+    sizes are what a probe reads instead of the corpus.
+    """
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    pivots = v.filter(F.col(id_col) < n_pivots).select(
+        F.col(id_col).alias("pivot_id"), F.col("v").alias("pv")
+    )
+    scored = v.crossJoin(F.broadcast(pivots)).select(
+        id_col, "pivot_id", cosine(F.col("v"), F.col("pv")).alias("cos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("pivot_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "pivot_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_pivots: int = 64,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: exact cosine only against vectors whose pivot is
+    among the query's `n_probe` nearest pivots.
+
+    Cost per query ≈ n_probe/n_pivots of the corpus (vs the brute-force
+    crossJoin baseline); recall < 1 is the approximation, measured in
+    tests against cosine_topk. The probe join is an equi-join on
+    pivot_id — shuffle-friendly, no all-pairs stage anywhere.
+    """
+    assign = ivf_assign(emb, n_pivots=n_pivots, id_col=id_col, vec_col=vec_col)
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    pivots = v.filter(F.col(id_col) < n_pivots).select(
+        F.col(id_col).alias("pivot_id"), F.col("v").alias("pv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    qp = q.crossJoin(F.broadcast(pivots)).select(
+        "query_id", "pivot_id", cosine(F.col("qv"), F.col("pv")).alias("pcos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("pcos").desc(), F.col("pivot_id"))
+    probes = (
+        qp.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "pivot_id")
+    )
+    cand = probes.join(assign.select(id_col, "pivot_id"), "pivot_id").select(
+        "query_id", F.col(id_col).alias("neighbor_id")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    nv = v.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = cand.join(q, "query_id").join(nv, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def lsh_bits(
     vec: Column, dim: int, n_planes: int = 8, table: int = 0
 ) -> Column:

@@ -1,0 +1,2 @@
+from .windows import windowed_counts  # noqa: F401
+from .stateful import stateful_lww_changes  # noqa: F401

@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+`stateful_lww_changes` is the continuous-emission twin of the batch LWW
+dedup (cdc/apply.lww_dedup): per key it keeps the winning (lsn, op) in
+GroupState across micro-batches and EMITS A ROW ONLY WHEN THE WINNER
+CHANGES — a change-data-feed of the table the CDC merge would build,
+without materializing the table. State is O(#live keys); each micro-batch
+group arrives as Arrow-backed pandas frames (no per-row Python).
+
+This is the engine's demonstration of the applyInPandasWithState surface
+for operators the built-in aggregates can't express (SURVEY §2.9 /
+§2.10); the icebox merge path remains the system of record.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# op precedence under equal LSNs — must match cdc.apply.OP_RANK
+_OP_RANK = {"insert": 0, "update": 1, "upsert": 2, "delete": 3}
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("lsn", LongType()),
+        StructField("op", StringType()),
+        StructField("n_tok", IntegerType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("lsn", LongType()),
+        StructField("rank", IntegerType()),
+        StructField("op", StringType()),
+        StructField("n_tok", IntegerType()),
+    ]
+)
+
+
+def _lww_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        cur_lsn, cur_rank, cur_op, cur_ntok = state.get
+    else:
+        cur_lsn, cur_rank, cur_op, cur_ntok = -1, -1, None, None
+    changed = False
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ranks = pdf["op"].map(_OP_RANK).fillna(-1).astype("int64")
+        # vectorized lexicographic argmax over (lsn, rank) — no packed
+        # arithmetic, so no overflow at any lsn magnitude
+        lsn_s = pdf["lsn"].astype("int64")
+        top = lsn_s == lsn_s.max()
+        i = ranks[top].idxmax()
+        lsn, rank = int(lsn_s[i]), int(ranks[i])
+        if (lsn, rank) > (cur_lsn, cur_rank):
+            cur_lsn, cur_rank = lsn, rank
+            cur_op = str(pdf["op"][i])
+            v = pdf["n_tok"][i]
+            cur_ntok = None if pd.isna(v) else int(v)
+            changed = True
+    state.update((cur_lsn, cur_rank, cur_op, cur_ntok))
+    if changed:
+        yield pd.DataFrame(
+            {
+                "doc_id": [key[0]],
+                "lsn": [cur_lsn],
+                "op": [cur_op],
+                "n_tok": [cur_ntok],
+            }
+        )
+
+
+def stateful_lww_changes(stream: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Change-data-feed of per-key LWW winners over a change-event stream.
+
+    Emits (key, lsn, op, n_tok) whenever a micro-batch changes a key's
+    winner; redelivered or stale events emit nothing. Requires columns
+    (doc_id, lsn, op, n_tok) on the stream.
+    """
+    return (
+        stream.select(key, "lsn", "op", "n_tok")
+        .groupBy(key)
+        .applyInPandasWithState(
+            _lww_update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -190,3 +190,44 @@ def test_multimodal_frame_sample_shape(spark):
 def test_decode_stub_rejects_real_formats():
     with pytest.raises(NotImplementedError):
         M._decode_stub(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF probe search: with enough probes, top-1 recall vs exact brute
+    force must be high; with n_probe == n_pivots it must be exact."""
+    import math
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(300):
+        base = [0.0] * 8
+        base[i % 8] = 1.0
+        vec = [x + rnd.uniform(-0.05, 0.05) for x in base]
+        rows.append((i, vec))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id").between(100, 119))
+
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.cosine_topk(vecs, queries, k=1).collect()
+    }
+    # full probe = exact (every cluster searched)
+    full = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.ivf_topk(vecs, queries, k=1, n_pivots=16, n_probe=16).collect()
+    }
+    assert full == exact
+    # partial probe: high recall at a fraction of the scan
+    part = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.ivf_topk(vecs, queries, k=1, n_pivots=16, n_probe=4).collect()
+    }
+    recall = sum(part.get(q) == n for q, n in exact.items()) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_assign_is_argmax(vectors):
+    out = {r["vec_id"]: r["pivot_id"] for r in S.ivf_assign(vectors, n_pivots=3).collect()}
+    # vec 5 duplicates vec 0 → pivot 0; vec 3 is nearest pivot 2 (y-axis)
+    assert out[5] == 0 and out[3] == 2 and out[0] == 0
