@@ -907,6 +907,34 @@ FROM events GROUP BY event_type
 """
 
 
+def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 batch twin of streaming/windows.py: 5-minute tumbling
+    event-time windows over the events table (same F.window expression
+    the streaming path uses; watermarking is a no-op in batch). Window
+    bounds emitted as epoch seconds — engine-neutral."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_EVENT_TIME_WINDOWS = """
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS win_start_epoch,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_json_tolerant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F19 tolerant parse (the reference swallows trailing commas in
     hand-built JSON, grid-and-attrs/app.js:151): inject a trailing comma
@@ -1092,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_stats": q_embed_stats,
         "json_props": q_json_props,
         "json_tolerant_parse": q_json_tolerant_parse,
+        "event_time_windows": q_event_time_windows,
         "self_band_join": q_self_band_join,
         "tok_repair": q_tok_repair,
         "tok_truncate_pad": q_tok_truncate_pad,
@@ -1136,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_stats": _SQL_EMBED_STATS,
         "json_props": _SQL_JSON_PROPS,
         "json_tolerant_parse": _SQL_JSON_TOLERANT_PARSE,
+        "event_time_windows": _SQL_EVENT_TIME_WINDOWS,
         "self_band_join": _SQL_SELF_BAND_JOIN,
         "tok_repair": _sql_tok_repair(),
         "tok_truncate_pad": _sql_tok_truncate_pad(),

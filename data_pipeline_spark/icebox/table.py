@@ -465,11 +465,17 @@ class IceboxTable:
 
         cols = [f.name for f in self.schema.fields] + INTERNAL_NAMES
         n_rows = sum(bucket_rows.values())
-        # ~30k token rows ≈ 20 MB per write task; tiny batches → one task
+        # ~30k token rows ≈ 20 MB per write task; tiny batches → one file.
+        # coalesce, NOT repartition: the winners already crossed one
+        # exchange in the dedup aggregate — a second full shuffle purely
+        # for file sizing would double the per-batch network cost. Rows
+        # of a bucket may span files, but each file is sorted by (_b,
+        # key), so bucket-pruned reads still skip foreign row groups via
+        # parquet min/max stats.
         npart = max(1, min(n_rows // 30_000 + 1, 1024))
         (
             deltas.select("_b", *cols)
-            .repartition(npart, "_b")
+            .coalesce(npart)
             .sortWithinPartitions("_b", self.key)
             .write.mode("overwrite")
             .parquet(snap_abs)
