@@ -547,6 +547,31 @@ class IceboxTable:
             summary={"operation": "compact", "buckets": len(chosen)},
         )
 
+    def rollback(self, snapshot_id: int) -> "IceboxTable":
+        """Roll the table back to an earlier snapshot's STATE as a NEW
+        commit (Iceberg-style rollback): the chain stays append-only and
+        auditable, no data files move. `committed_tags` keeps the CURRENT
+        cumulative set — replay of batches applied after the rollback
+        point stays a no-op (rollback is an operator's state decision,
+        not an invitation to double-apply); feed corrected batches with
+        fresh tags instead."""
+        meta_dir = os.path.join(self.root, "metadata")
+        with open(os.path.join(meta_dir, f"snap-{snapshot_id:08d}.json")) as f:
+            old = json.load(f)
+        manifest = {
+            **self.manifest,
+            "snapshot_id": self.snapshot_id + 1,
+            "parent_id": self.snapshot_id,
+            "tag": None,
+            "buckets": old["buckets"],
+            "deltas": old.get("deltas") or [],
+            "current_schema_id": old["current_schema_id"],
+            "schemas": old["schemas"],
+            "summary": {"operation": "rollback", "to": snapshot_id},
+        }
+        self._write_manifest(manifest)
+        return IceboxTable(self.spark, self.root, manifest)
+
     def split_buckets(self, factor: int = 2) -> "IceboxTable":
         """Partition evolution: multiply n_buckets by `factor` and rewrite
         the data into the finer layout (one-time maintenance commit, the

@@ -228,3 +228,70 @@ def test_commit_race_single_winner_without_precheck(spark, tdir):
     with pytest.raises(ConcurrentCommitError):
         t2.overwrite_all(df)  # same snapshot name → exclusive create fails
     assert IceboxTable.load(spark, root).snapshot_id == 1
+
+
+def test_rollback_restores_state_and_blocks_replay_confusion(spark, tdir):
+    """Rollback to an earlier snapshot as a NEW commit: state equals the
+    old snapshot, history stays append-only, and an already-applied tag
+    remains a no-op after rollback (no accidental double-apply)."""
+    log = gen_event_log(spark, n_events=900, n_docs=100, batch_size=300, partitions=4)
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=4)
+    t = apply_batch(t, log.filter(F.col("batch_id") == 0), 0, merge_strategy="delta")
+    sid_after_b0 = t.snapshot_id
+    state_b0 = t.read().orderBy("doc_id").toPandas()
+    t = apply_batch(t, log.filter(F.col("batch_id") == 1), 1, merge_strategy="delta")
+
+    t = t.rollback(sid_after_b0)
+    assert_tables_equal(t.read().orderBy("doc_id").toPandas(), state_b0)
+    assert t.snapshot_id == sid_after_b0 + 2  # append-only chain
+
+    # batch 1's tag is still committed → replay is a no-op (operator must
+    # feed corrected data under a fresh tag)
+    sid = t.snapshot_id
+    t2 = apply_batch(t, log.filter(F.col("batch_id") == 1), 1, merge_strategy="delta")
+    assert t2.snapshot_id == sid
+    # a fresh tag applies cleanly on the rolled-back state
+    t3 = apply_batch(
+        t, log.filter(F.col("batch_id") == 1), "1-corrected", merge_strategy="delta"
+    )
+    assert t3.snapshot_id == sid + 1
+
+
+def test_crashed_delta_commit_is_invisible_and_reclaimed(spark, tdir):
+    """Torn MoR commit: delta files written but the manifest publish never
+    happened. The table must be unchanged, the batch replayable, and the
+    orphan directory reclaimed by expire_snapshots."""
+    log = gen_event_log(spark, n_events=600, n_docs=80, batch_size=200, partitions=4)
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = apply_batch(t, log.filter(F.col("batch_id") == 0), 0, merge_strategy="delta")
+
+    # crash injection: the manifest write raises AFTER data files land
+    orig = IceboxTable._write_manifest
+    IceboxTable._write_manifest = lambda self, m: (_ for _ in ()).throw(
+        OSError("simulated crash before manifest publish")
+    )
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            apply_batch(
+                IceboxTable.load(spark, root),
+                log.filter(F.col("batch_id") == 1),
+                1,
+                merge_strategy="delta",
+            )
+    finally:
+        IceboxTable._write_manifest = orig
+
+    # invisible: loader sees the pre-crash snapshot, reads are unchanged
+    t2 = IceboxTable.load(spark, root)
+    assert t2.snapshot_id == t.snapshot_id
+    assert_tables_equal(
+        t2.read().orderBy("doc_id").toPandas(), t.read().orderBy("doc_id").toPandas()
+    )
+    # the orphan delta dir exists on disk but is referenced by no manifest
+    data_dirs = set(os.listdir(os.path.join(root, "data")))
+    t3 = apply_batch(t2, log.filter(F.col("batch_id") == 1), 1, merge_strategy="delta")
+    res = t3.expire_snapshots(keep_last=100)  # keep all snapshots: only orphans go
+    assert res["removed_dirs"] >= 1
+    # replayed batch applied exactly once
+    assert t3.read_lineage().toPandas()["events_applied"].sum() == 400
