@@ -645,6 +645,30 @@ WHERE rank <= 3
 """
 
 
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering: rep_id = min over {self} ∪
+    {cos ≥ 0.6 neighbors} (exact brute-force baseline at oracle scale;
+    the LSH-cascaded scale path is pytest-covered for agreement)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embed_cosine_dedup(emb, threshold=0.6, all_pairs=True)
+
+
+_SQL_DEDUP_EMBED_COSINE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+near AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a, v b
+  WHERE a.vec_id <> b.vec_id
+    AND list_sum(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i])) /
+        (sqrt(list_sum(list_transform(range(1, 65), i -> a.ve[i] * a.ve[i]))) *
+         sqrt(list_sum(list_transform(range(1, 65), i -> b.ve[i] * b.ve[i])))) >= 0.6)
+SELECT v.vec_id AS vec_id,
+       least(coalesce(min(near.id_b), v.vec_id), v.vec_id) AS rep_id
+FROM v LEFT JOIN near ON near.id_a = v.vec_id
+GROUP BY v.vec_id
+"""
+
+
 def q_embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization (the scale path for ANN alongside LSH):
     every vector assigned to its nearest-of-64 deterministic pivots."""
@@ -1107,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embed_cosine": q_dedup_embed_cosine,
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ivf_assign": q_embed_ivf_assign,
         "embed_lsh_buckets": q_embed_lsh_buckets,
@@ -1152,6 +1177,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_embed_cosine": _SQL_DEDUP_EMBED_COSINE,
         "embed_cosine_topk": _SQL_EMBED_COSINE_TOPK,
         "embed_ivf_assign": _SQL_EMBED_IVF_ASSIGN,
         "embed_lsh_buckets": _sql_embed_lsh_buckets(),

@@ -81,6 +81,85 @@ def cosine_topk(
     )
 
 
+def embed_cosine_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    all_pairs: bool = False,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering, one LSH hop:
+    rep_id = min(id) over {self} ∪ {ids with cosine ≥ threshold}.
+
+    The embedding twin of minhash_lsh_rep (same contract: rep_id == id
+    means "no near-duplicate found"). all_pairs=True is the exact
+    brute-force baseline (broadcast nested loop — correctness oracle and
+    small inputs only); the default path generates candidates from LSH
+    buckets (equi-join, hot-bucket capped) and verifies with exact
+    cosine, so no all-pairs stage ever runs at scale.
+    """
+    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if all_pairs:
+        a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") != F.col("id_b"))
+        scored = pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+    else:
+        tables = [
+            v.select(
+                id_col,
+                F.lit(t).alias("tbl"),
+                lsh_bits(F.col("v"), dim, n_planes, table=t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+        bb = tables[0]
+        for t in tables[1:]:
+            bb = bb.unionByName(t)
+        rb = bb
+        if max_bucket_size is not None:
+            wb = Window.partitionBy("tbl", "bucket").orderBy(
+                F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            rb = (
+                bb.withColumn("_r", F.row_number().over(wb))
+                .filter(F.col("_r") <= max_bucket_size)
+                .drop("_r")
+            )
+        cand = (
+            bb.alias("l")
+            .join(rb.alias("r"), ["tbl", "bucket"])
+            .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        scored = cand.join(va, "id_a").join(vb, "id_b").select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+    near = scored.filter(F.col("cos") >= threshold)
+    return (
+        v.select(F.col(id_col))
+        .join(near.select(F.col("id_a").alias(id_col), "id_b"), id_col, "left")
+        .groupBy(id_col)
+        .agg(F.min("id_b").alias("_mn"))
+        .select(
+            id_col,
+            F.least(F.coalesce("_mn", F.col(id_col)), F.col(id_col)).alias("rep_id"),
+        )
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_pivots: int = 64,

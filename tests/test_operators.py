@@ -231,3 +231,37 @@ def test_ivf_assign_is_argmax(vectors):
     out = {r["vec_id"]: r["pivot_id"] for r in S.ivf_assign(vectors, n_pivots=3).collect()}
     # vec 5 duplicates vec 0 → pivot 0; vec 3 is nearest pivot 2 (y-axis)
     assert out[5] == 0 and out[3] == 2 and out[0] == 0
+
+
+def test_embed_cosine_dedup_exact_and_cascaded(spark):
+    """Exact brute-force near-dup clustering finds the planted duplicate
+    pairs; the LSH-cascaded scale path agrees on a clustered corpus
+    (identical vectors always share every LSH bucket)."""
+    import random
+
+    rnd = random.Random(5)
+    rows = []
+    for i in range(120):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        vec = [x + rnd.uniform(-0.3, 0.3) for x in base]
+        rows.append((i, vec))
+    # plant exact duplicates: 100↔0, 101↔1
+    rows[100] = (100, rows[0][1])
+    rows[101] = (101, rows[1][1])
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        r["vec_id"]: r["rep_id"]
+        for r in S.embed_cosine_dedup(vecs, threshold=0.999, all_pairs=True).collect()
+    }
+    assert exact[100] == 0 and exact[101] == 1 and exact[0] == 0
+    assert sum(1 for k, v in exact.items() if v != k) == 2
+
+    casc = {
+        r["vec_id"]: r["rep_id"]
+        for r in S.embed_cosine_dedup(
+            vecs, threshold=0.999, dim=8, n_planes=4, n_tables=2
+        ).collect()
+    }
+    assert casc == exact
