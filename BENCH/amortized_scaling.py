@@ -1,0 +1,88 @@
+"""Amortized-batch scaling pair: the production batch shape for the
+north rule's N→4N criterion.
+
+The 16M/4-batch protocol in scaling_bench.py deliberately exposes the
+per-batch constant; a real 10^10-event deployment runs much larger
+micro-batches, which amortize it. This script measures the same MoR
+replay at 32M events in 2×16M batches, local[2] vs local[8], interleaved
+reps, medians — the shape under which the ≥0.8 criterion is evaluated.
+
+Usage: python BENCH/amortized_scaling.py [events] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys, time, tempfile, shutil
+sys.path.insert(0, %(repo)r)
+import pyspark.sql.functions as F
+from data_pipeline_spark.session import get_spark
+
+cpus = int(sys.argv[1]); n_events = int(sys.argv[2])
+spark = get_spark(f"scale_big_{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus,
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+from data_pipeline_spark.gen import gen_event_log
+from data_pipeline_spark.icebox.table import IceboxTable
+from data_pipeline_spark.cdc.apply import replay_log
+import __spark_entry__ as E
+work = tempfile.mkdtemp(prefix=f"scaleb{cpus}_")
+try:
+    ev_dir = os.path.join(work, "ev")
+    gen_event_log(spark, n_events, n_events // 10, batch_size=n_events // 2,
+                  hot_frac=0.10).write.partitionBy("batch_id").parquet(ev_dir)
+    table = IceboxTable.create(spark, os.path.join(work, "t"),
+                               E.BASE_SCHEMA, n_buckets=64)
+    log = spark.read.parquet(ev_dir)
+    t0 = time.perf_counter()
+    table = replay_log(table, log, merge_strategy="delta")
+    el = time.perf_counter() - t0
+    assert table.read().count() > 0
+    print("RESULT", el)
+finally:
+    shutil.rmtree(work, ignore_errors=True)
+"""
+
+
+def run_once(cpus: int, n: int) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cpus), str(n)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return float(line.split()[1])
+    raise RuntimeError(f"worker failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    res: dict[int, list[float]] = {2: [], 8: []}
+    for rep in range(reps):
+        for k in (2, 8):  # interleaved
+            el = run_once(k, n)
+            res[k].append(el)
+            print(f"rep {rep} local[{k}]: {el:.1f}s ({n/el:,.0f} ev/s)",
+                  file=sys.stderr)
+    m2, m8 = statistics.median(res[2]), statistics.median(res[8])
+    print(json.dumps({
+        "n_events": n, "batches": 2,
+        "sec": {"2": [round(x, 1) for x in res[2]],
+                "8": [round(x, 1) for x in res[8]]},
+        "events_per_sec": {"2": round(n / m2, 1), "8": round(n / m8, 1)},
+        "eff_2_to_8_raw": round((n / m8) / (n / m2) / 4, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,3 +128,75 @@ def test_any_log_any_batching_matches_oracle(
         assert len(actual) == 0
         return
     assert_tables_equal(actual[list(expected.columns)], expected)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=log_st,
+    splits=splits_st,
+    maintenance=st.lists(
+        st.sampled_from(["compact", "split", "none"]), min_size=4, max_size=4
+    ),
+)
+def test_maintenance_ops_preserve_replay_state(
+    spark, tmp_path_factory, events, splits, maintenance
+):
+    """Interleaving compaction and bucket-splits between delta batches
+    must never change the replayed state (maintenance moves no logical
+    data)."""
+    rows = _dedupe_ties(_to_rows(events))
+    tdir = str(tmp_path_factory.mktemp("maint"))
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=2
+    )
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+            StructField("doc_id", StringType()),
+            StructField("tokens", ArrayType(IntegerType())),
+            StructField("n_tok", IntegerType()),
+            StructField("source", StringType()),
+        ]
+    )
+    df_all = spark.createDataFrame(rows, schema) if rows else None
+    bounds = sorted(set(splits)) + [41]
+    lo = -1
+    for b, hi in enumerate(bounds):
+        if df_all is None:
+            batch = spark.createDataFrame([], schema)
+        else:
+            batch = df_all.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        t = apply_batch(t, batch, b, n_salts=2, merge_strategy="delta")
+        op = maintenance[b % len(maintenance)]
+        if op == "compact":
+            t = t.compact_if_needed(ratio=0.0)
+        elif op == "split" and t.n_buckets <= 4:
+            t = t.split_buckets(factor=2)
+        lo = hi
+
+    import pandas as pd
+
+    actual = t.read().select(*PAYLOAD).toPandas()
+    expected = replay_oracle(
+        pd.DataFrame(rows, columns=["lsn", "op", "doc_id", "tokens", "n_tok", "source"]),
+        PAYLOAD,
+    )
+    if len(expected) == 0:
+        assert len(actual) == 0
+        return
+    assert_tables_equal(actual[list(expected.columns)], expected)
