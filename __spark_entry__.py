@@ -110,18 +110,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # CDC engine queries (self-generating; oracles rebuild the identical log)
 
 
-def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-rule final-state check. `tokens` is emitted as its canonical
-    CSV serialization (injective for array<int>) because the driver's
-    pandas canonicalizer cannot hash raw list cells; token-array equality
-    is exactly CSV-string equality."""
-    table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
+def _final_state_csv(table: IceboxTable) -> DataFrame:
+    """Canonical final-state projection: `tokens` emitted as its CSV
+    serialization (injective for array<int>) because the driver's pandas
+    canonicalizer cannot hash raw list cells; token-array equality is
+    exactly CSV-string equality."""
     return table.read().select(
         "doc_id",
         F.concat_ws(",", "tokens").alias("tokens_csv"),
         "n_tok",
         "source",
     )
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule final-state check (see _final_state_csv)."""
+    table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
+    return _final_state_csv(table)
 
 
 def _sql_cdc_replay_final_state() -> str:
@@ -155,21 +160,13 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 table = table.compact_if_needed(ratio=0.0)
         table = table.split_buckets(factor=2)
         _REPLAY_CACHE[key] = root
-    return table.read().select(
-        "doc_id",
-        F.concat_ws(",", "tokens").alias("tokens_csv"),
-        "n_tok",
-        "source",
-    )
+    return _final_state_csv(table)
 
 
 def _sql_cdc_mor_replay() -> str:
-    return f"""
-WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
-w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
-SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
-FROM w WHERE rn = 1 AND op <> 'delete'
-"""
+    # deliberately the SAME contract as the CoW replay: identical log,
+    # identical final state
+    return _sql_cdc_replay_final_state()
 
 
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,12 +234,7 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
     # snapshot ids: 0=create, 1..3 = batches 0..2
     past = IceboxTable.load(spark, table.root, snapshot_id=2)
-    return past.read().select(
-        "doc_id",
-        F.concat_ws(",", "tokens").alias("tokens_csv"),
-        "n_tok",
-        "source",
-    )
+    return _final_state_csv(past)
 
 
 def _sql_cdc_time_travel() -> str:

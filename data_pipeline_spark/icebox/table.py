@@ -24,8 +24,10 @@ Invariants:
     rewrote it); merge-on-read delta commits layer on top in list order,
     and compaction prunes a bucket from delta entries' bucket_rows
     without touching the immutable delta files;
-  * commit = exclusive-create manifest file then os.replace CURRENT —
-    atomic on POSIX; a crash anywhere earlier leaves orphans only.
+  * commit = exclusive-create manifest file (the durable commit point)
+    then os.replace CURRENT; a crash before the manifest link leaves
+    orphans only, a crash between link and swap is rolled forward by the
+    next load().
 
 Driver-side work per commit is O(#touched buckets), never O(#events).
 """
@@ -133,6 +135,27 @@ class IceboxTable:
         if snapshot_id is None:
             with open(os.path.join(meta_dir, "CURRENT")) as f:
                 name = f.read().strip()
+            # torn-publish roll-forward: the exclusive snap-file link is
+            # the durable commit point (content fsync'd before link); a
+            # crash between the link and the CURRENT swap leaves a
+            # published manifest CURRENT doesn't point at. Without this,
+            # every future commit would recompute the same snapshot name,
+            # collide, and wedge the table. The chain is linear (sid =
+            # parent+1 and the link is single-winner), so at most a
+            # contiguous run of successors can exist — adopt the newest
+            # and repair CURRENT.
+            sid = int(name[5:13])
+            while os.path.exists(os.path.join(meta_dir, f"snap-{sid + 1:08d}.json")):
+                sid += 1
+            newest = f"snap-{sid:08d}.json"
+            if newest != name:
+                cur_tmp = os.path.join(meta_dir, f"CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+                with open(cur_tmp, "w") as f:
+                    f.write(newest)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(cur_tmp, os.path.join(meta_dir, "CURRENT"))
+                name = newest
         else:
             name = f"snap-{snapshot_id:08d}.json"
         with open(os.path.join(meta_dir, name)) as f:
@@ -587,15 +610,20 @@ class IceboxTable:
         """
         if factor < 2:
             raise ValueError("factor must be ≥ 2")
-        new_n = self.n_buckets * factor
-        merged = self.read(internal=True)
         old_n = self.n_buckets
-        self.manifest = {**self.manifest, "n_buckets": new_n}
-        merged = merged.withColumn("_b", self.bucket_of())
+        new_n = old_n * factor
+        # commit through a CLONED handle: a failed split must leave this
+        # handle's manifest untouched (a live handle claiming the new
+        # bucket count over the old physical layout would mis-prune every
+        # subsequent merge)
+        clone = IceboxTable(
+            self.spark, self.root, {**self.manifest, "n_buckets": new_n}
+        )
+        merged = self.read(internal=True).withColumn("_b", clone.bucket_of())
         # range(new_n) ⊇ range(old_n): commit_rewrite prunes every old
         # bucket id from delta entries (the read above folded deltas in)
         touched = list(range(new_n))
-        return self.commit_rewrite(
+        return clone.commit_rewrite(
             merged,
             touched,
             summary={"operation": "split_buckets", "from": old_n, "to": new_n},

@@ -220,14 +220,17 @@ def ngram_jaccard_pairs(
     # that appear in a candidate pair BEFORE the shingle self-join, so the
     # join's size is bounded by the candidates, not the corpus (and a
     # globally-common shingle can't create a hot key over non-candidates).
+    # parallelize the SCAN input, not the joined frame: probing a plan
+    # with exchanges would execute them (see ensure_parallelism docstring)
+    wide = ensure_parallelism(df)
     if cand is not None:
         cand_ids = cand.select(F.col("id_a").alias("cid")).union(
             cand.select(F.col("id_b").alias("cid"))
         ).distinct()
-        base = df.join(cand_ids, df[id_col] == F.col("cid"), "left_semi")
+        base = wide.join(cand_ids, wide[id_col] == F.col("cid"), "left_semi")
     else:
-        base = df
-    sh = ensure_parallelism(base).select(
+        base = wide
+    sh = base.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), k=shingle))).alias("s"),
     )

@@ -81,6 +81,53 @@ def cosine_topk(
     )
 
 
+def _lsh_candidates(
+    v: DataFrame,
+    id_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    max_bucket_size: int | None,
+    left_name: str = "query_id",
+    right_name: str = "neighbor_id",
+) -> DataFrame:
+    """Shared LSH candidate generation: per-table sign-bit buckets,
+    hot-bucket cap on the neighbor side (see lsh_bucket_topk docstring),
+    bucket equi-join, distinct (left_name, right_name) pairs.
+    `v` must carry (id_col, v:array<double>)."""
+    tables = [
+        v.select(
+            id_col,
+            F.lit(t).alias("tbl"),
+            lsh_bits(F.col("v"), dim, n_planes, table=t).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    bb = tables[0]
+    for t in tables[1:]:
+        bb = bb.unionByName(t)
+    rb = bb
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("tbl", "bucket").orderBy(
+            F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        rb = (
+            bb.withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") <= max_bucket_size)
+            .drop("_r")
+        )
+    return (
+        bb.alias("l")
+        .join(rb.alias("r"), ["tbl", "bucket"])
+        .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias(left_name),
+            F.col(f"r.{id_col}").alias(right_name),
+        )
+        .distinct()
+    )
+
+
 def embed_cosine_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -111,36 +158,9 @@ def embed_cosine_dedup(
             "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
         )
     else:
-        tables = [
-            v.select(
-                id_col,
-                F.lit(t).alias("tbl"),
-                lsh_bits(F.col("v"), dim, n_planes, table=t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-        bb = tables[0]
-        for t in tables[1:]:
-            bb = bb.unionByName(t)
-        rb = bb
-        if max_bucket_size is not None:
-            wb = Window.partitionBy("tbl", "bucket").orderBy(
-                F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
-            )
-            rb = (
-                bb.withColumn("_r", F.row_number().over(wb))
-                .filter(F.col("_r") <= max_bucket_size)
-                .drop("_r")
-            )
-        cand = (
-            bb.alias("l")
-            .join(rb.alias("r"), ["tbl", "bucket"])
-            .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
-            .select(
-                F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-            )
-            .distinct()
+        cand = _lsh_candidates(
+            v, id_col, dim, n_planes, n_tables, max_bucket_size,
+            left_name="id_a", right_name="id_b",
         )
         va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
         vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
@@ -296,37 +316,7 @@ def lsh_bucket_topk(
     pairs are O(m · cap), never O(m²). Pass None to disable.
     """
     v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    tables = [
-        v.select(
-            id_col,
-            F.lit(t).alias("tbl"),
-            lsh_bits(F.col("v"), dim, n_planes, table=t).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    bb = tables[0]
-    for t in tables[1:]:
-        bb = bb.unionByName(t)
-    rb = bb
-    if max_bucket_size is not None:
-        wb = Window.partitionBy("tbl", "bucket").orderBy(
-            F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
-        )
-        rb = (
-            bb.withColumn("_r", F.row_number().over(wb))
-            .filter(F.col("_r") <= max_bucket_size)
-            .drop("_r")
-        )
-    cand = (
-        bb.alias("l")
-        .join(rb.alias("r"), ["tbl", "bucket"])
-        .filter(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("query_id"),
-            F.col(f"r.{id_col}").alias("neighbor_id"),
-        )
-        .distinct()
-    )
+    cand = _lsh_candidates(v, id_col, dim, n_planes, n_tables, max_bucket_size)
     qv = v.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
     nv = v.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
     scored = cand.join(qv, "query_id").join(nv, "neighbor_id").select(

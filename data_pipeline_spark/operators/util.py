@@ -14,7 +14,12 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     core — the sf0.1 documents table ran the whole MinHash pipeline
     1-task. At scale this is a no-op: 100 TB of input yields far more
     splits than cores, so no shuffle is ever added on the big path.
-    Checking getNumPartitions costs physical planning only, no job.
+
+    CONSTRAINT: call this on scan-shaped inputs only (a plain file read,
+    possibly filtered/projected). Under AQE, probing getNumPartitions on
+    a plan containing exchanges/broadcasts EXECUTES those stages to
+    finalize the adaptive plan — upstream joins would run twice. Every
+    in-package call site passes the raw table scan.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism

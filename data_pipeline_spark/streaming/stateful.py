@@ -27,8 +27,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# op precedence under equal LSNs — must match cdc.apply.OP_RANK
-_OP_RANK = {"insert": 0, "update": 1, "upsert": 2, "delete": 3}
+# op precedence under equal LSNs — the SAME table the batch merge uses
+from ..cdc.apply import OP_RANK as _OP_RANK
 
 _OUT_SCHEMA = StructType(
     [
@@ -57,9 +57,14 @@ def _lww_update(
         cur_lsn, cur_rank, cur_op, cur_ntok = -1, -1, None, None
     changed = False
     for pdf in pdfs:
+        # malformed events (null lsn / unknown op) are DROPPED so the
+        # continuous feed keeps running — the batch path's reject-loudly
+        # policy (cdc.apply._bad_event_pred) doesn't fit a long-lived
+        # query; route rejects upstream if you need them quarantined
+        pdf = pdf[pdf["lsn"].notna() & pdf["op"].isin(_OP_RANK)]
         if pdf.empty:
             continue
-        ranks = pdf["op"].map(_OP_RANK).fillna(-1).astype("int64")
+        ranks = pdf["op"].map(_OP_RANK).astype("int64")
         # vectorized lexicographic argmax over (lsn, rank) — no packed
         # arithmetic, so no overflow at any lsn magnitude
         lsn_s = pdf["lsn"].astype("int64")

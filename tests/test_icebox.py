@@ -216,3 +216,60 @@ def test_split_buckets_partition_evolution(spark, tdir):
     old = IceboxTable.load(spark, root, snapshot_id=pre_split_sid)
     assert old.n_buckets == 4
     assert old.read().orderBy("doc_id").collect() == before
+
+
+def test_torn_publish_rolls_forward_on_load(spark, tdir):
+    """Crash between the exclusive manifest link and the CURRENT swap:
+    the published manifest IS the durable commit — load() must adopt it
+    (and repair CURRENT) instead of wedging every future commit on a
+    snapshot-name collision."""
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = t.overwrite_all(_mkdf(spark, [("a", [1], 1)]))
+
+    # simulate the torn publish: next snapshot's manifest exists, CURRENT
+    # still points at the previous one
+    meta = os.path.join(root, "metadata")
+    torn = {
+        **t.manifest,
+        "snapshot_id": t.snapshot_id + 1,
+        "parent_id": t.snapshot_id,
+        "tag": "torn:1",
+        "committed_tags": t.manifest["committed_tags"] + ["torn:1"],
+        "summary": {"operation": "torn"},
+    }
+    with open(os.path.join(meta, f"snap-{t.snapshot_id + 1:08d}.json"), "w") as f:
+        json.dump(torn, f)
+
+    t2 = IceboxTable.load(spark, root)
+    assert t2.snapshot_id == t.snapshot_id + 1
+    assert t2.has_tag("torn:1")  # the torn commit's exactly-once tag survives
+    with open(os.path.join(meta, "CURRENT")) as f:
+        assert f.read().strip() == f"snap-{t2.snapshot_id:08d}.json"
+    # and the table is commit-able again (no name-collision wedge)
+    sid2 = t2.snapshot_id
+    t3 = t2.overwrite_all(_mkdf(spark, [("b", [2], 1)]))
+    assert t3.snapshot_id == sid2 + 1
+
+
+def test_failed_split_leaves_handle_consistent(spark, tdir):
+    """A split that fails mid-commit must not leave the live handle
+    claiming the new bucket count over the old layout."""
+    root = os.path.join(tdir, "t")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = t.overwrite_all(_mkdf(spark, [(f"d{i}", [i], 1) for i in range(10)]))
+    n_before = t.n_buckets
+
+    orig = IceboxTable._write_manifest
+    IceboxTable._write_manifest = lambda self, m: (_ for _ in ()).throw(
+        OSError("simulated split crash")
+    )
+    try:
+        with pytest.raises(OSError):
+            t.split_buckets(factor=2)
+    finally:
+        IceboxTable._write_manifest = orig
+    assert t.n_buckets == n_before  # handle untouched
+    # and still fully usable
+    t2 = t.overwrite_all(_mkdf(spark, [("x", [9], 1)]))
+    assert t2.read().filter(F.col("doc_id") == "x").count() == 1
