@@ -169,6 +169,29 @@ def _sql_cdc_mor_replay() -> str:
     return _sql_cdc_replay_final_state()
 
 
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-style existence/point probe: read specific keys touching only
+    their buckets (driver-side bucket computation + pushed key filter)."""
+    table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
+    keys = [f"doc_{i:08d}" for i in range(0, 300, 7)]
+    return table.lookup(keys).select(
+        "doc_id",
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+def _sql_cdc_point_lookup() -> str:
+    keys_sql = ", ".join(f"'doc_{i:08d}'" for i in range(0, 300, 7))
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
+FROM w WHERE rn = 1 AND op <> 'delete' AND doc_id IN ({keys_sql})
+"""
+
+
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
     return (
@@ -1104,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_lineage": q_cdc_lineage,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_time_travel": q_cdc_time_travel,
@@ -1150,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": _sql_cdc_replay_final_state(),
         "cdc_mor_replay": _sql_cdc_mor_replay(),
+        "cdc_point_lookup": _sql_cdc_point_lookup(),
         "cdc_lineage": _sql_cdc_lineage(),
         "cdc_schema_evolution": _sql_cdc_schema_evolution(),
         "cdc_time_travel": _sql_cdc_time_travel(),

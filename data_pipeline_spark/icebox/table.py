@@ -335,6 +335,25 @@ class IceboxTable:
             *INTERNAL_NAMES
         )
 
+    def lookup(self, keys: list) -> DataFrame:
+        """Point read: live rows for the given keys, touching only their
+        buckets (bucket = f(key) computed driver-side) and, inside each
+        file, only matching row groups (files are sorted by (_b, key), so
+        the pushed key predicate prunes via parquet min/max stats). The
+        engine's analog of the reference's indexed grid probe
+        (/root/reference/grid-and-attrs/footprint.js:134-144).
+        """
+        import pyspark.sql.functions as _F
+
+        # same transform as bucket_expr, evaluated on a tiny keys frame
+        bucket_rows = (
+            self.spark.createDataFrame([(k,) for k in keys], f"{self.key} string")
+            .select(self.key, self.bucket_of().alias("_b"))
+            .collect()
+        )
+        buckets = sorted({int(r["_b"]) for r in bucket_rows})
+        return self.read(buckets=buckets).filter(_F.col(self.key).isin(list(keys)))
+
     def read_lineage(self) -> DataFrame:
         paths = [os.path.join(self.root, p) for p in self.manifest["lineage_paths"]]
         if not paths:

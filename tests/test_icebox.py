@@ -273,3 +273,30 @@ def test_failed_split_leaves_handle_consistent(spark, tdir):
     # and still fully usable
     t2 = t.overwrite_all(_mkdf(spark, [("x", [9], 1)]))
     assert t2.read().filter(F.col("doc_id") == "x").count() == 1
+
+
+def test_lookup_reads_only_key_buckets(spark, tdir):
+    """Point lookup touches only the keys' buckets — proven by corrupting
+    every other bucket's files."""
+    root = os.path.join(tdir, "tlk")
+    schema = StructType([*BASE_SCHEMA.fields, StructField("source", StringType())])
+    t = IceboxTable.create(spark, root, schema, n_buckets=8)
+    docs = [(f"doc_{i}", [i], 1, "s") for i in range(64)]
+    t = t.overwrite_all(spark.createDataFrame(docs, schema))
+    keys = ["doc_3", "doc_17"]
+    key_buckets = {
+        r["_b"]
+        for r in spark.createDataFrame([(k,) for k in keys], "doc_id string")
+        .select(t.bucket_of().alias("_b"))
+        .collect()
+    }
+    for b, e in t.manifest["buckets"].items():
+        if int(b) in key_buckets:
+            continue
+        bdir = os.path.join(root, e["path"])
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                with open(os.path.join(bdir, f), "wb") as fh:
+                    fh.write(b"corrupt")
+    got = {r["doc_id"]: r["tokens"] for r in t.lookup(keys).collect()}
+    assert got == {"doc_3": [3], "doc_17": [17]}

@@ -69,6 +69,7 @@ def _dedupe_ties(rows):
 @settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # the driver's gate must be deterministic
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
@@ -133,6 +134,7 @@ def test_any_log_any_batching_matches_oracle(
 @settings(
     max_examples=6,
     deadline=None,
+    derandomize=True,  # the driver's gate must be deterministic
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
