@@ -121,3 +121,23 @@ def test_double_apply_is_noop_delta(spark, tdir):
         assert t.snapshot_id == sid
         # a replayed delta batch must not append a second delta entry
         assert len(t.manifest["deltas"]) == b + 1
+
+
+def test_mixed_strategies_across_batches_converge(spark, tdir):
+    """Switching merge strategies BETWEEN batches of one replay (delta →
+    join → shuffle → delta …) must produce the same final state as any
+    single strategy — the three paths share one logical contract, and a
+    CoW merge over a delta'd table folds the deltas correctly."""
+    log = gen_event_log(spark, n_events=1200, n_docs=120, batch_size=200, partitions=4)
+    batches = _batches(log)
+
+    t_ref = _mk(spark, tdir, "ref")
+    for b, df in batches:
+        t_ref = apply_batch(t_ref, df, b)
+
+    cycle = ["delta", "join", "shuffle", "delta", "delta", "join"]
+    t_mix = _mk(spark, tdir, "mix")
+    for (b, df), strat in zip(batches, cycle):
+        t_mix = apply_batch(t_mix, df, b, merge_strategy=strat)
+
+    assert_tables_equal(t_mix.read().toPandas(), t_ref.read().toPandas())
