@@ -662,14 +662,17 @@ WHERE rank <= 3
 
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clustering: rep_id = min over {self} ∪
-    {cos ≥ 0.6 neighbors} (exact brute-force baseline at oracle scale;
-    the LSH-cascaded scale path is pytest-covered for agreement)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    {cos ≥ 0.6 neighbors} (exact brute-force baseline over a bounded
+    2000-vector slice — all-pairs is the CORRECTNESS baseline, so the
+    driver query bounds it; the LSH-cascaded scale path is
+    pytest-covered for agreement)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     return S.embed_cosine_dedup(emb, threshold=0.6, all_pairs=True)
 
 
 _SQL_DEDUP_EMBED_COSINE = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+           WHERE vec_id < 2000),
 near AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM v a, v b

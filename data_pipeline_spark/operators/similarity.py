@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.portable import h64
+from .util import ensure_parallelism
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -66,7 +67,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("nv"))
+    c = ensure_parallelism(emb).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("nv")
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
@@ -149,23 +152,30 @@ def embed_cosine_dedup(
     buckets (equi-join, hot-bucket capped) and verifies with exact
     cosine, so no all-pairs stage ever runs at scale.
     """
-    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    v = ensure_parallelism(emb).select(F.col(id_col), _as_double(vec_col).alias("v"))
+    # stage each vector's norm ONCE (a deterministic function of the
+    # vector, so dot/(na·nb) is bit-identical to dot/(norm(a)·norm(b))
+    # computed per pair — but ~3× fewer array ops on the pair hot path)
+    vn = v.select(id_col, "v", norm(F.col("v")).alias("_n"))
+    pair_cos = (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+        "cos"
+    )
+    va = vn.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("_n").alias("na")
+    )
+    vb = vn.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("_n").alias("nb")
+    )
     if all_pairs:
-        a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-        b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-        pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") != F.col("id_b"))
-        scored = pairs.select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
-        )
+        pairs = va.crossJoin(F.broadcast(vb)).filter(F.col("id_a") != F.col("id_b"))
+        scored = pairs.select("id_a", "id_b", pair_cos)
     else:
         cand = _lsh_candidates(
             v, id_col, dim, n_planes, n_tables, max_bucket_size,
             left_name="id_a", right_name="id_b",
         )
-        va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-        vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
         scored = cand.join(va, "id_a").join(vb, "id_b").select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+            "id_a", "id_b", pair_cos
         )
     near = scored.filter(F.col("cos") >= threshold)
     return (
@@ -198,7 +208,7 @@ def ivf_assign(
     Output: (id, pivot_id, cos) — the inverted-file table; cluster
     sizes are what a probe reads instead of the corpus.
     """
-    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    v = ensure_parallelism(emb).select(F.col(id_col), _as_double(vec_col).alias("v"))
     pivots = v.filter(F.col(id_col) < n_pivots).select(
         F.col(id_col).alias("pivot_id"), F.col("v").alias("pv")
     )
@@ -315,7 +325,7 @@ def lsh_bucket_topk(
     bucket, so per-query fan-out is ≤ max_bucket_size per table and total
     pairs are O(m · cap), never O(m²). Pass None to disable.
     """
-    v = emb.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    v = ensure_parallelism(emb).select(F.col(id_col), _as_double(vec_col).alias("v"))
     cand = _lsh_candidates(v, id_col, dim, n_planes, n_tables, max_bucket_size)
     qv = v.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
     nv = v.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
