@@ -173,17 +173,26 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3-style existence/point probe: read specific keys touching only
     their buckets (driver-side bucket computation + pushed key filter)."""
     table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
-    keys = [f"doc_{i:08d}" for i in range(0, 300, 7)]
-    return table.lookup(keys).select(
+    # portable generator ids are doc_%06d (gen.py:197) — round 2 probed
+    # doc_%08d, so the oracle passed vacuously on 0==0 rows; guard below
+    # makes any future key-format drift fail loudly instead of going green
+    keys = [f"doc_{i:06d}" for i in range(0, 300, 7)]
+    out = table.lookup(keys).select(
         "doc_id",
         F.concat_ws(",", "tokens").alias("tokens_csv"),
         "n_tok",
         "source",
     )
+    if out.limit(1).count() == 0:
+        raise AssertionError(
+            "cdc_point_lookup returned 0 rows — probed keys do not exist "
+            "(key-format drift between the probe and gen.py?)"
+        )
+    return out
 
 
 def _sql_cdc_point_lookup() -> str:
-    keys_sql = ", ".join(f"'doc_{i:08d}'" for i in range(0, 300, 7))
+    keys_sql = ", ".join(f"'doc_{i:06d}'" for i in range(0, 300, 7))
     return f"""
 WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
 w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)

@@ -345,9 +345,14 @@ class IceboxTable:
         """
         import pyspark.sql.functions as _F
 
-        # same transform as bucket_expr, evaluated on a tiny keys frame
+        # same transform as bucket_expr, evaluated on a tiny keys frame;
+        # schema comes from the table's actual key type — xxhash64 over a
+        # mistyped column would compute different buckets and silently
+        # miss rows
+        key_field = next(f for f in self.schema.fields if f.name == self.key)
+        keys_schema = StructType([StructField(self.key, key_field.dataType)])
         bucket_rows = (
-            self.spark.createDataFrame([(k,) for k in keys], f"{self.key} string")
+            self.spark.createDataFrame([(k,) for k in keys], keys_schema)
             .select(self.key, self.bucket_of().alias("_b"))
             .collect()
         )
@@ -607,6 +612,11 @@ class IceboxTable:
             "tag": None,
             "buckets": old["buckets"],
             "deltas": old.get("deltas") or [],
+            # layout travels WITH the state: rolling back across a
+            # split_buckets must restore the old bucket count, or
+            # bucket_of() disagrees with the physical layout and every
+            # bucket-pruned read/merge silently drops keys
+            "n_buckets": old["n_buckets"],
             "current_schema_id": old["current_schema_id"],
             "schemas": old["schemas"],
             "summary": {"operation": "rollback", "to": snapshot_id},
@@ -735,12 +745,17 @@ class IceboxTable:
             ) from None
         finally:
             os.remove(tmp)
+        # power-loss durability, not just process-crash atomicity: the
+        # link's directory entry must itself reach disk before the commit
+        # is reported durable
+        _fsync_dir(meta_dir)
         cur_tmp = os.path.join(meta_dir, f"CURRENT.tmp-{uuid.uuid4().hex[:8]}")
         with open(cur_tmp, "w") as f:
             f.write(name)
             f.flush()
             os.fsync(f.fileno())
         os.replace(cur_tmp, os.path.join(meta_dir, "CURRENT"))
+        _fsync_dir(meta_dir)
         self.manifest = manifest
 
 
@@ -754,6 +769,16 @@ LINEAGE_SCHEMA = StructType(
         StructField("lsn_watermark", LongType()),
     ]
 )
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so freshly-linked/renamed entries survive power
+    loss (POSIX: file fsync does not cover its directory entry)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _parquet_rows(bucket_dir: str) -> int:

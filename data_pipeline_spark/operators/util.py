@@ -2,12 +2,39 @@
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
+
+# plan nodes that imply the frame is no longer scan-shaped: an exchange
+# already (re)set its parallelism to spark.sql.shuffle.partitions, and —
+# worse — probing df.rdd on such a plan under AQE EXECUTES the upstream
+# stages to finalize the adaptive plan
+_SHUFFLE_NODES = ("Join", "Aggregate", "Window", "Repartition", "Sort", "Deduplicate")
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
+    try:
+        v = spark.conf.get(key)
+    except Exception:
+        return default
+    v = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+        if v.endswith(suf):
+            v = v[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(float(v)) * mult
+    except ValueError:
+        return default
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition UP to the session's default parallelism when the input
-    plan yields fewer partitions.
+    """Repartition UP to the session's default parallelism when the scan
+    would yield fewer splits than cores.
 
     Why: a small parquet file arrives as ONE split, which serializes
     expensive per-row work (md5 shingling, regex scoring) onto a single
@@ -15,14 +42,37 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     1-task. At scale this is a no-op: 100 TB of input yields far more
     splits than cores, so no shuffle is ever added on the big path.
 
-    CONSTRAINT: call this on scan-shaped inputs only (a plain file read,
-    possibly filtered/projected). Under AQE, probing getNumPartitions on
-    a plan containing exchanges/broadcasts EXECUTES those stages to
-    finalize the adaptive plan — upstream joins would run twice. Every
-    in-package call site passes the raw table scan.
+    Safety: the split count is ESTIMATED from leaf-file sizes (pure
+    driver metadata — no job, no .rdd probe, which under AQE would
+    execute upstream stages to finalize the adaptive plan). Frames whose
+    optimized plan already contains an exchange-inducing node are
+    returned unchanged: their parallelism is governed by
+    spark.sql.shuffle.partitions, and double-running their upstream via
+    a probe was the round-2 hazard (ADVICE r2 item 4).
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return df
+    if any(n in plan for n in _SHUFFLE_NODES):
+        return df
+    files = df.inputFiles()
+    if not files:
+        # in-memory relation (createDataFrame / range): slice count was
+        # chosen by the caller; LocalTableScan execution is cheap anyway
+        return df
+    local = [f[len("file:"):] for f in files if f.startswith("file:")]
+    if len(local) != len(files):
+        return df  # remote FS — no cheap size metadata; leave as-is
+    try:
+        total = sum(os.path.getsize(p) for p in local)
+    except OSError:
+        return df
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_split = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    est_splits = max(1, math.ceil((total + len(local) * open_cost) / max_split))
+    if est_splits < target:
         return df.repartition(target)
     return df

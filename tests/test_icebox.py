@@ -300,3 +300,40 @@ def test_lookup_reads_only_key_buckets(spark, tdir):
                     fh.write(b"corrupt")
     got = {r["doc_id"]: r["tokens"] for r in t.lookup(keys).collect()}
     assert got == {"doc_3": [3], "doc_17": [17]}
+
+
+def test_rollback_across_split_restores_layout(spark, tdir):
+    """Rollback to a pre-split snapshot must restore n_buckets with the
+    state: bucket_of() has to agree with the restored physical layout or
+    every bucket-pruned path silently drops keys (ADVICE r2, medium)."""
+    root = os.path.join(tdir, "trs")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = t.overwrite_all(_mkdf(spark, [(f"d{i}", [i], 1) for i in range(72)]))
+    pre_split = t.snapshot_id
+    t = t.split_buckets(factor=2)
+    assert t.n_buckets == 8
+    t = t.rollback(pre_split)
+    assert t.n_buckets == 4  # layout travels with the state
+    # full read intact
+    assert t.read().count() == 72
+    # every single-key pruned lookup still finds its row
+    got = {r["doc_id"] for k in range(72) for r in t.lookup([f"d{k}"]).collect()}
+    assert got == {f"d{i}" for i in range(72)}
+
+
+def test_lookup_non_string_key(spark, tdir):
+    """lookup() must hash the key with the table's actual key type —
+    a hardcoded string schema would bucket long keys wrong (ADVICE r2)."""
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+    root = os.path.join(tdir, "tnk")
+    t = IceboxTable.create(spark, root, schema, n_buckets=8, key="k")
+    t = t.overwrite_all(
+        spark.createDataFrame([(i, f"v{i}") for i in range(40)], schema)
+    )
+    got = {r["k"]: r["v"] for r in t.lookup([3, 17, 25]).collect()}
+    assert got == {3: "v3", 17: "v17", 25: "v25"}
