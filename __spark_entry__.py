@@ -717,6 +717,138 @@ WHERE rn = 1
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe SEARCH end-to-end (the ANN scale path, not just the
+    assignment stage): exact cosine only against vectors whose pivot is
+    among the query's 4 nearest of 64 pivots."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=3, n_pivots=64, n_probe=4)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i]))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))))"
+)
+
+
+def _sql_ivf_topk() -> str:
+    cos_vp = _COS_SQL.format(a="ve", b="pv")
+    cos_qp = _COS_SQL.format(a="qv", b="pv")
+    cos_qn = _COS_SQL.format(a="qv", b="nv")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+p AS (SELECT vec_id AS pivot_id, ve AS pv FROM v WHERE vec_id < 64),
+asg AS (
+  SELECT vec_id, pivot_id FROM (
+    SELECT v.vec_id AS vec_id, pivot_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vp} DESC, pivot_id) rn
+    FROM v, p) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, pivot_id FROM (
+    SELECT query_id, pivot_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY {cos_qp} DESC, pivot_id) rn
+    FROM q, p) WHERE rn <= 4),
+cand AS (SELECT query_id, asg.vec_id AS neighbor_id
+         FROM probes JOIN asg USING (pivot_id) WHERE asg.vec_id <> query_id),
+scored AS (
+  SELECT query_id, neighbor_id, {cos_qn} AS c
+  FROM cand JOIN q USING (query_id)
+  JOIN (SELECT vec_id AS neighbor_id, ve AS nv FROM v) USING (neighbor_id))
+SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def _sql_lsh_cand(n_vecs_pred: str, n_planes: int, n_tables: int, cap: int) -> str:
+    """Shared DuckDB CTE block replicating _lsh_candidates exactly:
+    per-table sign-bit buckets over h64-derived hyperplanes, h64-ranked
+    hot-bucket cap on the neighbor side, bucket equi-join, distinct pairs.
+    Emits CTEs v / bb / rb / cand."""
+    coef_h = (
+        "CAST('0x' || substr(md5(concat(CAST(t AS VARCHAR), ':', "
+        "CAST(p AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15) AS BIGINT)"
+    )
+    cap_h = h64_sql("CAST(vec_id AS VARCHAR)", salt="cap")
+    return f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+      WHERE {n_vecs_pred}),
+bits AS (
+  SELECT vec_id, t AS tbl, p,
+         CASE WHEN list_sum(list_transform(range(0, 64),
+              i -> ve[i + 1] * (({coef_h} % 2001 - 1000) / 1000.0))) >= 0
+              THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+  FROM v, range(0, {n_tables}) tt(t), range(0, {n_planes}) pp(p)),
+bb AS (SELECT vec_id, tbl, CAST(sum(bit << CAST(p AS INT)) AS BIGINT) AS bucket
+       FROM bits GROUP BY vec_id, tbl),
+rb AS (SELECT vec_id, tbl, bucket FROM (
+         SELECT *, row_number() OVER (PARTITION BY tbl, bucket
+                    ORDER BY {cap_h}, vec_id) r FROM bb)
+       WHERE r <= {cap}),
+cand AS (SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+         FROM bb l JOIN rb r USING (tbl, bucket) WHERE l.vec_id <> r.vec_id)"""
+
+
+def q_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN SEARCH end-to-end, with the hot-bucket cap
+    actually binding (4 planes → 16 buckets over the corpus, cap 8) so
+    the skew-containment path itself is oracle-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk(
+        emb, k=3, dim=64, n_planes=4, n_tables=2, max_bucket_size=8
+    )
+
+
+def _sql_lsh_bucket_topk() -> str:
+    cos_qn = _COS_SQL.format(a="qv", b="nv")
+    return f"""
+WITH {_sql_lsh_cand("TRUE", n_planes=4, n_tables=2, cap=8)},
+scored AS (
+  SELECT query_id, neighbor_id, {cos_qn} AS c
+  FROM cand
+  JOIN (SELECT vec_id AS query_id, ve AS qv FROM v) USING (query_id)
+  JOIN (SELECT vec_id AS neighbor_id, ve AS nv FROM v) USING (neighbor_id))
+SELECT query_id, neighbor_id, round(c, 6) AS cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-CASCADED embedding near-dup path (all_pairs=False) — the
+    plan that actually runs at 100 TB: candidates from capped LSH buckets,
+    exact-cosine verify, rep = min over confirmed neighbors. Same contract
+    as dedup_embed_cosine's brute-force baseline, now oracle-checked on
+    the scale path itself."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    return S.embed_cosine_dedup(
+        emb, threshold=0.6, all_pairs=False, n_planes=8, n_tables=2,
+        max_bucket_size=256,
+    )
+
+
+def _sql_dedup_embed_cosine_lsh() -> str:
+    cos_qn = _COS_SQL.format(a="qv", b="nv")
+    return f"""
+WITH {_sql_lsh_cand("vec_id < 2000", n_planes=8, n_tables=2, cap=256)},
+near AS (
+  SELECT query_id AS id_a, neighbor_id AS id_b
+  FROM cand
+  JOIN (SELECT vec_id AS query_id, ve AS qv FROM v) USING (query_id)
+  JOIN (SELECT vec_id AS neighbor_id, ve AS nv FROM v) USING (neighbor_id)
+  WHERE {cos_qn} >= 0.6)
+SELECT v.vec_id AS vec_id,
+       least(coalesce(min(near.id_b), v.vec_id), v.vec_id) AS rep_id
+FROM v LEFT JOIN near ON near.id_a = v.vec_id
+GROUP BY v.vec_id
+"""
+
+
 def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -1163,6 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "embed_ivf_assign": q_embed_ivf_assign,
         "embed_lsh_buckets": q_embed_lsh_buckets,
+        "ivf_topk": q_ivf_topk,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
+        "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -1210,6 +1345,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": _SQL_EMBED_COSINE_TOPK,
         "embed_ivf_assign": _SQL_EMBED_IVF_ASSIGN,
         "embed_lsh_buckets": _sql_embed_lsh_buckets(),
+        "ivf_topk": _sql_ivf_topk(),
+        "lsh_bucket_topk": _sql_lsh_bucket_topk(),
+        "dedup_embed_cosine_lsh": _sql_dedup_embed_cosine_lsh(),
         "text_lang_id": _sql_text_lang_id(),
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,

@@ -111,8 +111,10 @@ def _lsh_candidates(
         bb = bb.unionByName(t)
     rb = bb
     if max_bucket_size is not None:
+        # portable pseudo-random ranking (h64, not Spark-private xxhash64)
+        # so an external oracle can replay the cap decision exactly
         wb = Window.partitionBy("tbl", "bucket").orderBy(
-            F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+            h64(F.col(id_col).cast("string"), salt="cap"), F.col(id_col)
         )
         rb = (
             bb.withColumn("_r", F.row_number().over(wb))
