@@ -46,8 +46,10 @@ from data_pipeline_spark.functions.portable import (
     h64_sql,
     norm_text_sql,
     shingles_sql,
+    words,
     words_sql,
 )
+from data_pipeline_spark.operators import inference as I
 from data_pipeline_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -970,6 +972,43 @@ FROM documents
 """
 
 
+def q_model_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26 model batch inference, reference semantic
+    (resolve-footprints.scala:99-102): docs from source src0 carry a
+    measured token count; every other doc gets the regression tree's
+    prediction from (n_chars, n_punct), rounded — scored by an
+    Arrow-batched pandas UDF (operators/inference.py)."""
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x_chars"),
+        (F.size(F.split("text", "[.,;:!?]")) - 1).cast("double").alias("x_punct"),
+        F.when(F.col("source") == "src0", F.size(words("text"))).alias("measured"),
+    )
+    out = I.impute_with_model(
+        feats, F.col("measured"), ["x_chars", "x_punct"], out="token_est"
+    )
+    return out.select(
+        "doc_id", "token_est", F.col("token_est_source").alias("est_source")
+    )
+
+
+def _sql_model_impute() -> str:
+    tree = I.tree_sql(I.DEFAULT_TREE, ["x_chars", "x_punct"])
+    return f"""
+WITH f AS (SELECT doc_id,
+    CAST(n_chars AS DOUBLE) AS x_chars,
+    CAST(length(regexp_split_to_array(text, '[.,;:!?]')) - 1 AS DOUBLE) AS x_punct,
+    CASE WHEN source = 'src0'
+         THEN CAST(length({words_sql('text')}) AS DOUBLE) END AS measured
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN measured IS NOT NULL THEN measured ELSE round({tree}, 2) END AS token_est,
+  CASE WHEN measured IS NOT NULL THEN 'measured' ELSE 'model' END AS est_source
+FROM f
+"""
+
+
 def q_source_precedence_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8+O3: the reference's multi-source fold (master source wins,
     resolve-footprints.scala:121-188) — per candidate bucket, keep the
@@ -1303,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "model_impute": q_model_impute,
         "source_precedence_fold": q_source_precedence_fold,
         "doc_chunks": q_doc_chunks,
         "embed_stats": q_embed_stats,
@@ -1353,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprint": _sql_text_fingerprint(),
         "multimodal_meta": _SQL_MULTIMODAL_META,
+        "model_impute": _sql_model_impute(),
         "source_precedence_fold": _SQL_SOURCE_PRECEDENCE_FOLD,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "embed_stats": _SQL_EMBED_STATS,
