@@ -323,6 +323,39 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 # relational operator queries (SURVEY.md §2.2-2.7) on the TPC-H-ish tables
 
 
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-consumer surface (the reference's athena-schema posture,
+    buildings.sql:1-25): the replayed icebox table registered as a view
+    and queried through spark.sql — merge-on-read folding, tombstone
+    filtering, and schema backfill happen below the SQL layer."""
+    from data_pipeline_spark.sql import register
+
+    table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
+    register(table, "icebox_state")
+    return spark.sql(
+        """
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM icebox_state
+        GROUP BY source
+        """
+    )
+
+
+def _sql_sql_surface() -> str:
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev),
+st AS (SELECT * FROM w WHERE rn = 1 AND op <> 'delete')
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM st GROUP BY source
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 aggregation with categories + P5 range predicate (TPC-H Q1
     shape). Sums of 2-decimal inputs rounded to their exact grain."""
@@ -1315,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_lww_dedup": q_cdc_lww_dedup,
+        "sql_surface": q_sql_surface,
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1366,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution": _sql_cdc_schema_evolution(),
         "cdc_time_travel": _sql_cdc_time_travel(),
         "cdc_lww_dedup": _SQL_CDC_LWW_DEDUP,
+        "sql_surface": _sql_sql_surface(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "filter_project": _SQL_FILTER_PROJECT,
         "revenue_by_nation": _SQL_REVENUE_BY_NATION,

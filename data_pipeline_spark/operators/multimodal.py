@@ -8,11 +8,13 @@ opencitymodel/citygml/Geometry.java:6-7, consumed only at extrusion,
 FootprintExtruder.java:19-49).
 
 The Spark-side plumbing here is REAL and tested: schema, Arrow batch
-shape, mapInPandas signatures, partition sizing. The codec itself is
-STUBBED — this container has no image/audio libraries — behind
-`_decode_stub`, which is a deterministic fake (parses our own header)
-and raises NotImplementedError for real formats. Swap `_decode_stub`
-for a PIL/librosa call on a real cluster; nothing else changes.
+shape, mapInPandas signatures, partition sizing. The codec is
+feature-detected: payloads with our deterministic fake header are parsed
+directly; real formats go through PIL WHEN IT IS INSTALLED (decode +
+resize, tested by tests/test_multimodal_real.py, which skips — never
+fakes — where PIL is absent, as in this sandbox) and raise
+NotImplementedError otherwise. Audio/video codecs (librosa/ffmpeg) slot
+into the same per-batch loop.
 
 Scale notes: binary payloads dominate row size → keep
 spark.sql.execution.arrow.maxRecordsPerBatch low (session.py pins 4096)
@@ -52,13 +54,29 @@ def pack_fake_media(df: DataFrame, id_col: str, w_col: str, h_col: str, kind: st
     )
 
 
+def _pil():
+    """Feature-detect PIL once per worker; None when absent."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_stub(buf: bytes) -> tuple[int, int, int]:
-    """(width, height, n_frames). Deterministic fake for our header;
-    real formats are out of scope in this container."""
+    """(width, height, n_frames). Parses the deterministic fake header
+    directly; real image formats decode through PIL when installed."""
     if buf[:4] == _MAGIC:
         w = int.from_bytes(buf[5:9], "big")
         h = int.from_bytes(buf[9:13], "big")
         return w, h, 1
+    image_mod = _pil()
+    if image_mod is not None:
+        import io
+
+        with image_mod.open(io.BytesIO(buf)) as im:
+            return im.width, im.height, getattr(im, "n_frames", 1)
     raise NotImplementedError(
         "real media decoding needs PIL/ffmpeg — not installed in this sandbox"
     )
@@ -106,8 +124,18 @@ def resize_media(
         hb = height.to_bytes(4, "big")
         for pdf in it:
             def _rs(buf: bytes) -> bytes:
-                _decode_stub(bytes(buf))  # validates the format
-                return bytes(buf[:5]) + wb + hb + bytes(buf[13:])
+                buf = bytes(buf)
+                if buf[:4] != _MAGIC:
+                    image_mod = _pil()
+                    if image_mod is not None:  # real image → real resize
+                        import io
+
+                        with image_mod.open(io.BytesIO(buf)) as im:
+                            out = io.BytesIO()
+                            im.resize((width, height)).save(out, format="PNG")
+                            return out.getvalue()
+                _decode_stub(buf)  # validates the format
+                return buf[:5] + wb + hb + buf[13:]
 
             yield pd.DataFrame(
                 {

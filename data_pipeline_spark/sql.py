@@ -1,0 +1,66 @@
+"""SQL surface over the icebox catalog.
+
+The reference publishes its lake to SQL consumers via external-table DDL
+(/root/reference/athena-schema/buildings.sql:1-25, partitions added in
+add-buildings-partitions.js:4-10). The engine's equivalent surface:
+
+    CREATE TABLE        -> IceboxTable.create(spark, root, schema)
+    SELECT ... FROM t   -> register(table, "t"); spark.sql("SELECT ...")
+    ... FOR VERSION AS OF s
+                        -> register(table, "t", snapshot_id=s)
+    MERGE INTO t USING (<query>) ON t.key = src.key
+      WHEN MATCHED [AND src.op='delete'] THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+                        -> merge_into(table, spark, "<query>", batch_id)
+                           (exactly the engine's LWW apply: the source
+                           query must yield change events
+                           (lsn, op, <key>, payload...); op 'delete'
+                           maps to WHEN MATCHED DELETE, everything else
+                           to UPDATE/INSERT, and lsn arbitration makes
+                           the statement idempotent + order-independent,
+                           which a bare SQL MERGE is not)
+
+Views are registered from table.read() — bucket pruning, merge-on-read
+delta folding, and schema backfill all apply before the SQL layer sees a
+row, so spark.sql queries read the same committed snapshot state as the
+DataFrame API. The view is a SNAPSHOT view (it pins the manifest the
+handle holds, like Iceberg's time travel), not a live pointer: re-register
+after commits to see new data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .cdc.apply import apply_batch
+from .icebox.table import IceboxTable
+
+
+def register(
+    table: IceboxTable,
+    name: str,
+    snapshot_id: int | None = None,
+    internal: bool = False,
+) -> DataFrame:
+    """Expose the table (at its snapshot, or an older one) as a temp view
+    for spark.sql. Returns the registered DataFrame."""
+    t = table
+    if snapshot_id is not None and snapshot_id != table.snapshot_id:
+        t = IceboxTable.load(table.spark, table.root, snapshot_id=snapshot_id)
+    df = t.read(internal=internal)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def merge_into(
+    table: IceboxTable,
+    spark: SparkSession,
+    source_query: str,
+    batch_id: int | str,
+    **apply_kwargs,
+) -> IceboxTable:
+    """MERGE INTO equivalent: run `source_query` (must produce change
+    events: lsn, op, <key>, payload columns) through the engine's
+    LWW/exactly-once apply path. Returns the table at the new snapshot."""
+    return apply_batch(table, spark.sql(source_query), batch_id, **apply_kwargs)

@@ -49,3 +49,41 @@ def windowed_counts(
             *[F.col(c) for c in (["n_events", "sum_value"] if value_col else ["n_events"])],
         )
     )
+
+
+def session_windows(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    gap: str = "5 minutes",
+    watermark: str = "2 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-key SESSION windows: a session is a run of events for one key
+    where consecutive gaps stay under `gap`; the window extent is data-
+    driven ([first_ts, last_ts + gap)), unlike tumbling windows' fixed
+    grid. Sessions merge when late rows bridge two open sessions — Spark's
+    session_window state handles the merge; append mode emits each
+    finalized session exactly once after the watermark passes its end.
+
+    This is the natural upgrade of the reference's per-state periodic
+    counters (grid-and-attrs/app.js:171-177) to activity-burst analytics
+    (user sessions over a clickstream, doc-ingest bursts per source).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            *[
+                F.col(c)
+                for c in (["n_events", "sum_value"] if value_col else ["n_events"])
+            ],
+        )
+    )

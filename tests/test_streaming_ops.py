@@ -116,3 +116,52 @@ def test_stateful_lww_change_feed(spark, tdir):
     assert not any(k[0] == "a" and k[1] == 0 for k in rows)
     # b emitted at most twice (once per epoch where it changed)
     assert sum(1 for k in rows if k[0] == "b") <= 2
+
+
+def test_session_windows_merge_and_finalize(spark, tdir):
+    """Session semantics: events within the gap chain into ONE session
+    whose extent is data-driven; a separate burst becomes its own session;
+    append mode emits each finalized session exactly once."""
+    import datetime as dt
+    import time
+
+    from data_pipeline_spark.streaming import session_windows
+
+    def t(minute, second=0):
+        return dt.datetime(2024, 1, 1, 0, minute, second)
+
+    src = os.path.join(tdir, "sess")
+    # burst 1: clicks at 00:00, 00:02, 00:04 (gaps < 5m → one session
+    # [00:00, 00:09)); burst 2: click at 00:20 (own session [00:20, 00:25))
+    _write_batch(
+        spark, src,
+        [
+            (t(0), "click", 1.0),
+            (t(2), "click", 2.0),
+            (t(4), "click", 3.0),
+            (t(20), "click", 4.0),
+        ],
+        "b1",
+    )
+    time.sleep(1.1)
+    # batch 2: a view far ahead pushes the watermark past both sessions
+    _write_batch(spark, src, [(t(40), "view", 1.0)], "b2")
+
+    schema = spark.read.parquet(src).schema
+    out = _run_to_memory(
+        spark, src,
+        lambda s: session_windows(s, gap="5 minutes", watermark="2 minutes"),
+        "sess_sink", schema=schema,
+    ).collect()
+    got = {
+        (r["session_start"].minute, r["event_type"]): (
+            r["session_end"].minute,
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in out
+        if r["event_type"] == "click"
+    }
+    # exactly the two finalized click sessions, extents data-driven
+    assert got == {(0, "click"): (9, 3, 6.0), (20, "click"): (25, 1, 4.0)}
+    assert sum(1 for r in out if r["event_type"] == "click") == 2
