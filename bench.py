@@ -44,7 +44,28 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """Warm JVM JIT / whole-stage-codegen / shuffle paths before timing.
+
+    Root cause of the r1→r2 'regressions' in window_lww (0.35→1.22s) and
+    cdc_lww_dedup (0.65→1.50s): both were measured on COLD codegen paths —
+    the first execution of a window/sort pipeline in a fresh JVM pays
+    ~1s of JIT; measured steady-state medians are 0.40s / 0.62s, matching
+    r1. Adding new queries between rounds shifts which entries absorb the
+    warmup, so times weren't comparable across rounds. One untimed
+    exercise of scan+filter, window, and hash-agg+exchange paths fixes the
+    ordering artifact without touching any measured plan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    _force(e.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1))
+    _force(e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    _warmup(spark, sf_dir)
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()

@@ -68,11 +68,13 @@ Scale design (what survives a 1000-executor / 100 TB target):
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.sql.types import StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-from ..icebox.table import IceboxTable
+from ..icebox.table import INTERNAL_FIELDS, IceboxTable
 
 OP_RANK = {"insert": 0, "update": 1, "upsert": 2, "delete": 3}
 
@@ -245,6 +247,14 @@ def apply_batch(
     saved_schema_id = table.manifest["current_schema_id"]
     saved_schemas = dict(table.manifest["schemas"])
     ev = normalize_events(events, table)
+    if merge_strategy == "delta" and dedup_strategy == "agg":
+        # fused fast path: ONE heavy job (scan → dedup agg → sorted delta
+        # write, per-winner stats riding along as extra parquet columns),
+        # then a tiny stats job over the written compact file — no
+        # persist/cache of the batch, no second pass over raw events
+        return _apply_delta_fused(
+            table, ev, batch_id, tag, saved_schema_id, saved_schemas
+        )
     winners = None
     ev_persisted = False
     try:
@@ -366,6 +376,121 @@ def apply_batch(
             ev.unpersist()
         if winners is not None:
             winners.unpersist()
+
+
+def _apply_delta_fused(
+    table: IceboxTable,
+    ev: DataFrame,
+    batch_id: int | str,
+    tag: str,
+    saved_schema_id: int,
+    saved_schemas: dict,
+) -> IceboxTable:
+    """Merge-on-read apply with the per-batch job count minimized:
+
+      job 1 (heavy, the ONLY pass over raw events): scan → one hash
+             aggregate (LWW winners + per-key stats, _dedup_with_stats)
+             → sorted delta-file write. Output partitioning is whatever
+             AQE coalesced the dedup exchange to (~64 MB targets), so
+             small batches land in one file without an explicit coalesce.
+      job 2 (tiny, O(winners) over ONE compact file set): per-bucket
+             rollup of the stats columns that rode along in the parquet
+             (schema-projected reads never see them) → validation,
+             bucket_rows, lineage.
+      then the metadata-only manifest publish.
+
+    Versus the generic path this removes the winners persist (no cache
+    serialization of token arrays — the dominant per-batch constant
+    measured at small batch sizes) and the separate write job. A batch
+    rejected for malformed events deletes the staged dir and rolls back
+    the in-memory schema evolution — nothing was committed.
+    """
+    import shutil
+
+    key = table.key
+    cols = [f.name for f in table.schema.fields]
+    winners = _dedup_with_stats(ev, key, table)
+    deltas = winners.select(
+        "_b",
+        F.col(key),
+        *[F.col(c) for c in cols if c != key],
+        F.col("lsn").alias("_lsn"),
+        (F.col("op") == "delete").alias("_tombstone"),
+        "_n_ev",
+        "_wm",
+        "_bad",
+    )
+    snap_rel = table.stage_delta(deltas, extra_cols=["_n_ev", "_wm", "_bad"])
+    snap_abs = os.path.join(table.root, snap_rel)
+
+    stats_schema = StructType(
+        [
+            StructField("_b", IntegerType()),
+            *table.schema.fields,
+            *INTERNAL_FIELDS,
+            StructField("_n_ev", LongType()),
+            StructField("_wm", LongType()),
+            StructField("_bad", LongType()),
+        ]
+    )
+    stats = (
+        table.spark.read.schema(stats_schema)
+        .parquet(snap_abs)
+        .groupBy("_b")
+        .agg(
+            F.sum("_n_ev").alias("events_applied"),
+            F.max("_wm").alias("lsn_watermark"),
+            F.sum("_bad").alias("bad_events"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("_tombstone"), F.lit(False)).cast("long")).alias(
+                "n_dels"
+            ),
+        )
+        .collect()
+    )
+    bad = sum(r["bad_events"] or 0 for r in stats)
+    if bad:
+        shutil.rmtree(snap_abs, ignore_errors=True)
+        table.manifest["current_schema_id"] = saved_schema_id
+        table.manifest["schemas"] = saved_schemas
+        raise ValueError(
+            f"batch {batch_id}: {bad} events with unknown op, null lsn, "
+            f"or null {key} (valid ops: {sorted(OP_RANK)}) — refusing to apply"
+        )
+    touched = [int(r["_b"]) for r in stats if r["n"]]
+    if not touched:
+        shutil.rmtree(snap_abs, ignore_errors=True)
+        return table.commit_rewrite(
+            table.spark.createDataFrame([], _merged_schema(table)),
+            [],
+            tag=tag,
+            summary={"operation": "merge", "events": 0},
+        )
+    bid = int(batch_id) if str(batch_id).lstrip("-").isdigit() else -1
+    lineage = [
+        (
+            bid,
+            int(r["_b"]),
+            int(r["events_applied"]),
+            int(r["n"]) - int(r["n_dels"] or 0),
+            int(r["n_dels"] or 0),
+            int(r["lsn_watermark"]),
+        )
+        for r in stats
+    ]
+    bucket_rows = {int(r["_b"]): int(r["n"]) for r in stats}
+    return table.commit_staged_delta(
+        snap_rel,
+        bucket_rows,
+        tag=tag,
+        lineage=lineage,
+        summary={
+            "operation": "merge",
+            "strategy": "delta",
+            "touched_buckets": len(touched),
+            "winners": sum(bucket_rows.values()),
+        },
+    )
 
 
 def _merge_join(
