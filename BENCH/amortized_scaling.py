@@ -4,10 +4,11 @@ north rule's N→4N criterion.
 The 16M/4-batch protocol in scaling_bench.py deliberately exposes the
 per-batch constant; a real 10^10-event deployment runs much larger
 micro-batches, which amortize it. This script measures the same MoR
-replay at 32M events in 2×16M batches, local[2] vs local[8], interleaved
+replay with production-size batches across local[k] levels, interleaved
 reps, medians — the shape under which the ≥0.8 criterion is evaluated.
 
-Usage: python BENCH/amortized_scaling.py [events] [reps]
+Usage: python BENCH/amortized_scaling.py [events] [reps] [levels] [n_batches]
+       (defaults: 32000000 2 2,8 2; round-3 study: 64000000 2 2,8,32 4)
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ sys.path.insert(0, %(repo)r)
 import pyspark.sql.functions as F
 from data_pipeline_spark.session import get_spark
 
-cpus = int(sys.argv[1]); n_events = int(sys.argv[2])
+cpus = int(sys.argv[1]); n_events = int(sys.argv[2]); n_batches = int(sys.argv[3])
 spark = get_spark(f"scale_big_{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus,
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -38,7 +39,8 @@ import __spark_entry__ as E
 work = tempfile.mkdtemp(prefix=f"scaleb{cpus}_")
 try:
     ev_dir = os.path.join(work, "ev")
-    gen_event_log(spark, n_events, n_events // 10, batch_size=n_events // 2,
+    gen_event_log(spark, n_events, n_events // 10,
+                  batch_size=n_events // n_batches,
                   hot_frac=0.10).write.partitionBy("batch_id").parquet(ev_dir)
     table = IceboxTable.create(spark, os.path.join(work, "t"),
                                E.BASE_SCHEMA, n_buckets=64)
@@ -53,9 +55,10 @@ finally:
 """
 
 
-def run_once(cpus: int, n: int) -> float:
+def run_once(cpus: int, n: int, n_batches: int) -> float:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cpus), str(n)],
+        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cpus), str(n),
+         str(n_batches)],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -67,21 +70,26 @@ def run_once(cpus: int, n: int) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    res: dict[int, list[float]] = {2: [], 8: []}
+    levels = [int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "2,8").split(",")]
+    n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    res: dict[int, list[float]] = {k: [] for k in levels}
     for rep in range(reps):
-        for k in (2, 8):  # interleaved
-            el = run_once(k, n)
+        for k in levels:  # interleaved
+            el = run_once(k, n, n_batches)
             res[k].append(el)
             print(f"rep {rep} local[{k}]: {el:.1f}s ({n/el:,.0f} ev/s)",
                   file=sys.stderr)
-    m2, m8 = statistics.median(res[2]), statistics.median(res[8])
-    print(json.dumps({
-        "n_events": n, "batches": 2,
-        "sec": {"2": [round(x, 1) for x in res[2]],
-                "8": [round(x, 1) for x in res[8]]},
-        "events_per_sec": {"2": round(n / m2, 1), "8": round(n / m8, 1)},
-        "eff_2_to_8_raw": round((n / m8) / (n / m2) / 4, 3),
-    }))
+    med = {k: statistics.median(v) for k, v in res.items()}
+    out = {
+        "n_events": n, "batches": n_batches,
+        "sec": {str(k): [round(x, 1) for x in v] for k, v in res.items()},
+        "events_per_sec": {str(k): round(n / med[k], 1) for k in levels},
+    }
+    for lo, hi in zip(levels, levels[1:]):
+        out[f"eff_{lo}_to_{hi}_raw"] = round(
+            (n / med[hi]) / (n / med[lo]) / (hi / lo), 3
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

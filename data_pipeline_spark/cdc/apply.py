@@ -60,10 +60,15 @@ Scale design (what survives a 1000-executor / 100 TB target):
     reference reading one cty= prefix,
     /root/reference/citygml/build-citygml.sh:37); no job ever scans the
     full table for bookkeeping;
-  * per batch with the default "agg" dedup: ONE stats+dedup job over the
-    raw events (stats fold into the dedup aggregate, _dedup_with_stats)
-    and ONE merge/write job; driver work is O(#touched buckets) — one
-    small collect, one O(buckets) manifest write — never O(#events).
+  * per batch with the default "agg" dedup: the CoW paths run ONE
+    stats+dedup job over the raw events (stats fold into the dedup
+    aggregate, _dedup_with_stats) and ONE merge/write job; the delta path
+    is FUSED further (_apply_delta_fused): one heavy
+    scan→dedup→sorted-write job (per-winner stats ride along as hidden
+    parquet columns) plus one tiny per-bucket rollup over the written
+    compact file — no persist of the batch, exactly one pass over raw
+    events. Driver work is O(#touched buckets) — one small collect, one
+    O(buckets) manifest write — never O(#events).
 """
 
 from __future__ import annotations

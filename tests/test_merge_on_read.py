@@ -295,3 +295,56 @@ def test_crashed_delta_commit_is_invisible_and_reclaimed(spark, tdir):
     assert res["removed_dirs"] >= 1
     # replayed batch applied exactly once
     assert t3.read_lineage().toPandas()["events_applied"].sum() == 400
+
+
+def test_fused_delta_rejects_malformed_and_cleans_staged_dir(spark, tdir):
+    """The fused delta path stages files BEFORE validating; a rejected
+    batch must delete the staged dir, roll back in-memory schema
+    evolution, and advance no snapshot."""
+    root = os.path.join(tdir, "tfbad")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    bad = spark.createDataFrame(
+        [
+            (1, "frobnicate", "doc_1", [1], 1, "s"),
+            (2, "insert", "doc_2", [2], 1, "s"),
+        ],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        apply_batch(t, bad, 0, merge_strategy="delta")
+    assert IceboxTable.load(spark, root).snapshot_id == 0
+    # no orphan staged dir left behind
+    assert os.listdir(os.path.join(root, "data")) == []
+
+
+def test_fused_delta_empty_batch_commits_tag_only(spark, tdir):
+    root = os.path.join(tdir, "tfe")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    empty = spark.createDataFrame(
+        [],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    t = apply_batch(t, empty, 7, merge_strategy="delta")
+    assert t.has_tag("batch:7")
+    assert t.read().count() == 0
+    assert _delta_rows(t) == 0
+    # replay of the committed empty batch is still a no-op
+    sid = t.snapshot_id
+    t = apply_batch(t, empty, 7, merge_strategy="delta")
+    assert t.snapshot_id == sid
+
+
+def test_fused_delta_hidden_stats_columns_invisible(spark, tdir):
+    """stage_delta writes _n_ev/_wm/_bad into the delta parquet; schema-
+    projected reads (normal AND internal) must never surface them."""
+    root = os.path.join(tdir, "tfh")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    ev = gen_event_log(spark, 400, 60, batch_size=400, partitions=2)
+    t = apply_batch(t, ev, 0, merge_strategy="delta")
+    assert set(t.read().columns) == {f.name for f in BASE_SCHEMA.fields}
+    internal_cols = set(t.read(internal=True).columns)
+    assert "_n_ev" not in internal_cols and "_bad" not in internal_cols
+    # but the raw staged file does carry them (that is the fusion)
+    dpath = os.path.join(root, t.manifest["deltas"][0]["path"])
+    raw_cols = set(spark.read.parquet(dpath).columns)
+    assert {"_n_ev", "_wm", "_bad"} <= raw_cols
