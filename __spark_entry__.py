@@ -985,6 +985,43 @@ FROM n
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_repetition() -> str:
+    w = words_sql("text")
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    string_split(text, chr(10)) AS lines,
+    {w} AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, lines, w,
+    CASE WHEN length(w) >= 2
+         THEN list_transform(range(1, length(w)), i -> w[i] || ' ' || w[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END AS g2
+  FROM f),
+d AS (
+  SELECT doc_id,
+    round(CASE WHEN length(lines) > 0
+          THEN 1.0 - length(list_distinct(lines)) / length(lines)
+          ELSE 0.0 END, 6) AS dup_line_frac,
+    round(CASE WHEN length(w) > 0
+          THEN 1.0 - length(list_distinct(w)) / length(w)
+          ELSE 0.0 END, 6) AS dup_word_frac,
+    round(CASE WHEN length(g2) > 0
+          THEN 1.0 - length(list_distinct(g2)) / length(g2)
+          ELSE 0.0 END, 6) AS dup_2gram_frac
+  FROM g)
+SELECT doc_id, dup_line_frac, dup_word_frac, dup_2gram_frac,
+       (dup_line_frac <= 0.30 AND dup_word_frac <= 0.70
+        AND dup_2gram_frac <= 0.60) AS keep_doc
+FROM d
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: synthesize a fake-codec binary column from
     document metadata, decode it back via Arrow-batched mapInPandas."""
@@ -1375,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "multimodal_meta": q_multimodal_meta,
         "model_impute": q_model_impute,
         "source_precedence_fold": q_source_precedence_fold,
@@ -1427,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _sql_text_quality(),
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprint": _sql_text_fingerprint(),
+        "text_repetition": _sql_text_repetition(),
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "model_impute": _sql_model_impute(),
         "source_precedence_fold": _SQL_SOURCE_PRECEDENCE_FOLD,

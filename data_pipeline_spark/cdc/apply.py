@@ -274,6 +274,8 @@ def apply_batch(
                     F.count(F.lit(1)).alias("n"),
                     F.sum((F.col("op") != "delete").cast("long")).alias("n_ups"),
                     F.sum((F.col("op") == "delete").cast("long")).alias("n_dels"),
+                    F.min(key).alias("_kmin"),
+                    F.max(key).alias("_kmax"),
                 )
                 .collect()
             )
@@ -299,6 +301,8 @@ def apply_batch(
                         F.count(F.lit(1)).alias("n"),
                         F.sum((F.col("op") != "delete").cast("long")).alias("n_ups"),
                         F.sum((F.col("op") == "delete").cast("long")).alias("n_dels"),
+                        F.min(key).alias("_kmin"),
+                        F.max(key).alias("_kmax"),
                     ),
                     "_b",
                     "full",
@@ -356,8 +360,12 @@ def apply_batch(
                 (F.col("op") == "delete").alias("_tombstone"),
             )
             bucket_rows = {int(r["_b"]): int(r["n"]) for r in stats if r["n"]}
+            key_bounds = {
+                int(r["_b"]): (r["_kmin"], r["_kmax"]) for r in stats if r["n"]
+            }
             return table.commit_delta(
-                deltas, bucket_rows, tag=tag, lineage=lineage, summary=summary
+                deltas, bucket_rows, tag=tag, lineage=lineage, summary=summary,
+                key_bounds=key_bounds,
             )
 
         # target rows (incl. tombstones) of touched buckets only — the
@@ -450,6 +458,10 @@ def _apply_delta_fused(
             F.sum(F.coalesce(F.col("_tombstone"), F.lit(False)).cast("long")).alias(
                 "n_dels"
             ),
+            # per-bucket key bounds → manifest file statistics: keyed
+            # reads skip this whole delta when no probe fits the range
+            F.min(key).alias("_kmin"),
+            F.max(key).alias("_kmax"),
         )
         .collect()
     )
@@ -484,9 +496,11 @@ def _apply_delta_fused(
         for r in stats
     ]
     bucket_rows = {int(r["_b"]): int(r["n"]) for r in stats}
+    key_bounds = {int(r["_b"]): (r["_kmin"], r["_kmax"]) for r in stats}
     return table.commit_staged_delta(
         snap_rel,
         bucket_rows,
+        key_bounds=key_bounds,
         tag=tag,
         lineage=lineage,
         summary={

@@ -236,7 +236,12 @@ class IceboxTable:
 
     # ---------- read ----------
 
-    def read(self, buckets: list[int] | None = None, internal: bool = False) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        internal: bool = False,
+        keys: list | None = None,
+    ) -> DataFrame:
         """Read the table at this snapshot, optionally pruned to buckets.
 
         Files written under older schemas are read with THEIR schema and
@@ -247,20 +252,52 @@ class IceboxTable:
         internal=True exposes merge metadata (_lsn, _tombstone) and
         INCLUDES tombstone rows — the merge path needs them; normal reads
         see only live rows and logical columns.
+
+        keys: restrict the result to these key values. Dropping foreign
+        keys BEFORE the merge-on-read LWW aggregate is safe (the merge is
+        per-key), shrinks the agg to O(|keys|), pushes a literal isin
+        predicate into every parquet scan (row-group pruning — files are
+        sorted by (_b, key)), and lets the manifest's per-(delta, bucket)
+        key bounds skip whole delta commits DRIVER-SIDE with zero file
+        opens — the Iceberg-manifest-stats analog. At 100 TB a point
+        lookup touches one bucket and only the delta files whose key
+        range can contain the probe.
         """
         cur_schema = self.schema
         phys_target = StructType([*cur_schema.fields, *INTERNAL_FIELDS])
+        key_pred = F.col(self.key).isin(list(keys)) if keys is not None else None
         entries = self.manifest["buckets"]
         wanted = None if buckets is None else {str(b) for b in buckets}
         if wanted is not None:
             entries = {b: e for b, e in entries.items() if b in wanted}
 
+        def _bounds_hit(bounds) -> bool:
+            """Can any probed key fall inside [min, max]? Conservative:
+            malformed/missing bounds or uncomparable types → True."""
+            if keys is None or not bounds:
+                return True
+            try:
+                lo, hi = bounds
+                return any(lo <= k <= hi for k in keys)
+            except TypeError:
+                return True
+
         # which wanted buckets have live delta rows (merge-on-read)?
+        # A (delta, bucket) whose manifest key bounds exclude every probed
+        # key contributes nothing — drop it here, driver-side; a bucket
+        # whose EVERY delta is excluded needs no LWW aggregate at all.
         delta_entries = self.manifest.get("deltas") or []
+        delta_live: list[set[str]] = []
         mor_buckets: set[str] = set()
         for d in delta_entries:
             live = set(d["bucket_rows"])
-            mor_buckets |= live if wanted is None else (live & wanted)
+            if wanted is not None:
+                live &= wanted
+            if keys is not None:
+                kb = d.get("key_bounds") or {}
+                live = {b for b in live if _bounds_hit(kb.get(b))}
+            delta_live.append(live)
+            mor_buckets |= live
 
         def _read_group(sid: str, paths: list[str], with_b: bool) -> DataFrame:
             logical = StructType.fromJson(json.loads(self.manifest["schemas"][sid]))
@@ -280,8 +317,11 @@ class IceboxTable:
             tgt.setdefault(str(e["schema_id"]), []).append(
                 os.path.join(self.root, e["path"])
             )
+        def _keyed(df: DataFrame) -> DataFrame:
+            return df.filter(key_pred) if key_pred is not None else df
+
         parts = [
-            _conform(_read_group(sid, paths, with_b=False), phys_target)
+            _keyed(_conform(_read_group(sid, paths, with_b=False), phys_target))
             for sid, paths in sorted(clean_groups.items())
         ]
 
@@ -294,15 +334,13 @@ class IceboxTable:
         # cross buckets (bucket = f(key)), so one aggregate over all
         # delta'd buckets is per-bucket-correct.
         mor_parts = [
-            _conform(_read_group(sid, paths, with_b=False), phys_target).withColumn(
-                "_seq", F.lit(0)
-            )
+            _keyed(
+                _conform(_read_group(sid, paths, with_b=False), phys_target)
+            ).withColumn("_seq", F.lit(0))
             for sid, paths in sorted(mor_base_groups.items())
         ]
         for i, d in enumerate(delta_entries):
-            live = set(d["bucket_rows"]) if wanted is None else (
-                set(d["bucket_rows"]) & wanted
-            )
+            live = delta_live[i]
             if not live:
                 continue
             df = _read_group(str(d["schema_id"]), [os.path.join(self.root, d["path"])],
@@ -310,7 +348,7 @@ class IceboxTable:
             # rows sorted by _b at write → row-group min/max stats prune
             df = df.filter(F.col("_b").isin([int(b) for b in live]))
             mor_parts.append(
-                _conform(df, phys_target).withColumn("_seq", F.lit(i + 1))
+                _keyed(_conform(df, phys_target)).withColumn("_seq", F.lit(i + 1))
             )
         if mor_parts:
             u = mor_parts[0]
@@ -357,7 +395,10 @@ class IceboxTable:
             .collect()
         )
         buckets = sorted({int(r["_b"]) for r in bucket_rows})
-        return self.read(buckets=buckets).filter(_F.col(self.key).isin(list(keys)))
+        # keys= pushes the isin predicate into every scan AND lets the
+        # manifest's per-(delta, bucket) key bounds skip whole delta
+        # commits driver-side (see read())
+        return self.read(buckets=buckets, keys=list(keys))
 
     def read_lineage(self) -> DataFrame:
         paths = [os.path.join(self.root, p) for p in self.manifest["lineage_paths"]]
@@ -445,7 +486,14 @@ class IceboxTable:
                 b: n for b, n in d["bucket_rows"].items() if b not in touched_strs
             }
             if remaining:
-                new_deltas.append({**d, "bucket_rows": remaining})
+                nd = {**d, "bucket_rows": remaining}
+                if "key_bounds" in nd:  # bounds travel with their buckets
+                    kb = {b: v for b, v in nd["key_bounds"].items() if b in remaining}
+                    if kb:
+                        nd["key_bounds"] = kb
+                    else:
+                        nd.pop("key_bounds")
+                new_deltas.append(nd)
 
         lineage_paths = list(self.manifest["lineage_paths"])
         if lineage is not None:
@@ -520,24 +568,42 @@ class IceboxTable:
         tag: str | None = None,
         lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
+        key_bounds: dict | None = None,
     ) -> "IceboxTable":
         """Publish a delta file set previously written by stage_delta —
         the metadata half of commit_delta (manifest append + lineage),
-        no Spark job."""
+        no Spark job.
+
+        key_bounds: optional {bucket: (min_key, max_key)} over the delta's
+        rows — manifest-level file statistics (the Iceberg
+        lower_bounds/upper_bounds analog). Keyed reads use them to skip
+        this delta entirely when no probed key can fall in range. Only
+        JSON-safe scalar bounds are recorded; anything else is dropped
+        (pruning is an optimization, never a correctness dependency)."""
         if tag is not None and self.has_tag(tag):
             return self
         self._check_current()
         sid = self.snapshot_id + 1
         snap_dirname = os.path.basename(snap_rel)
 
-        new_deltas = list(self.manifest.get("deltas") or [])
-        new_deltas.append(
-            {
-                "path": snap_rel,
-                "schema_id": self.manifest["current_schema_id"],
-                "bucket_rows": {str(b): int(n) for b, n in bucket_rows.items()},
+        entry = {
+            "path": snap_rel,
+            "schema_id": self.manifest["current_schema_id"],
+            "bucket_rows": {str(b): int(n) for b, n in bucket_rows.items()},
+        }
+        if key_bounds:
+            safe = {
+                str(b): [lo, hi]
+                for b, (lo, hi) in key_bounds.items()
+                if isinstance(lo, (str, int, float))
+                and isinstance(hi, (str, int, float))
+                and not isinstance(lo, bool)
+                and not isinstance(hi, bool)
             }
-        )
+            if safe:
+                entry["key_bounds"] = safe
+        new_deltas = list(self.manifest.get("deltas") or [])
+        new_deltas.append(entry)
         lineage_paths = list(self.manifest["lineage_paths"])
         if lineage is not None:
             if isinstance(lineage, DataFrame):
@@ -566,6 +632,7 @@ class IceboxTable:
         tag: str | None = None,
         lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
+        key_bounds: dict | None = None,
     ) -> "IceboxTable":
         """Merge-on-read commit: append ONE compact delta file set instead
         of rewriting buckets. `deltas` holds the batch's deduped winners
@@ -613,7 +680,8 @@ class IceboxTable:
             .parquet(snap_abs)
         )
         return self.commit_staged_delta(
-            snap_rel, bucket_rows, tag=tag, lineage=lineage, summary=summary
+            snap_rel, bucket_rows, tag=tag, lineage=lineage, summary=summary,
+            key_bounds=key_bounds,
         )
 
     def compact_if_needed(

@@ -110,6 +110,60 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_line_max: float = 0.30,
+    dup_word_max: float = 0.70,
+    dup_2gram_max: float = 0.60,
+) -> DataFrame:
+    """Intra-document repetition filters (Gopher-style, Rae et al. 2021
+    §A1.1): fraction of duplicate lines, duplicate words, and duplicate
+    word 2-grams within each document, plus a combined keep/drop flag —
+    the standard "repetitious document" gate in LLM training-data
+    pipelines (boilerplate, keyword stuffing, degenerate generations).
+
+    All pure array HOFs over one scan — no explode, no shuffle, no UDF:
+    dup_frac(xs) = 1 - |distinct xs| / |xs|. Empty/short docs score 0
+    (nothing repeats). Fractions rounded to 6 places for cross-engine
+    parity; the DuckDB twin computes identical values.
+
+    Follows the reference's inline per-row enrichment posture
+    (/root/reference/grid-and-attrs/footprint.js:86-178): derived
+    columns cheap enough to ride along with the scan.
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    w = words(text_col)
+    n_w = F.size(w)
+    grams2 = F.when(
+        n_w >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_w - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(
+            n > 0, F.lit(1.0) - F.size(F.array_distinct(arr)) / n
+        ).otherwise(F.lit(0.0))
+
+    staged = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.round(dup_frac(lines), 6).alias("dup_line_frac"),
+        F.round(dup_frac(w), 6).alias("dup_word_frac"),
+        F.round(dup_frac(grams2), 6).alias("dup_2gram_frac"),
+    )
+    keep = (
+        (F.col("dup_line_frac") <= dup_line_max)
+        & (F.col("dup_word_frac") <= dup_word_max)
+        & (F.col("dup_2gram_frac") <= dup_2gram_max)
+    )
+    return staged.withColumn("keep_doc", keep)
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

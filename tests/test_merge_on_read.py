@@ -348,3 +348,81 @@ def test_fused_delta_hidden_stats_columns_invisible(spark, tdir):
     dpath = os.path.join(root, t.manifest["deltas"][0]["path"])
     raw_cols = set(spark.read.parquet(dpath).columns)
     assert {"_n_ev", "_wm", "_bad"} <= raw_cols
+
+
+def _keyed_batch(spark, lsn0, keys):
+    rows = [(lsn0 + i, "upsert", k, [i], 1, "s") for i, k in enumerate(keys)]
+    return spark.createDataFrame(
+        rows,
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+def test_keyed_read_skips_out_of_range_deltas(spark, tdir):
+    """Manifest per-(delta, bucket) key bounds let a keyed read skip whole
+    delta commits DRIVER-SIDE (the Iceberg lower/upper_bounds analog) —
+    proven by corrupting every delta whose bounds exclude the probed keys:
+    if the pruning didn't happen, the read would crash on the corrupt
+    parquet."""
+    t = IceboxTable.create(spark, os.path.join(tdir, "tkb"), BASE_SCHEMA, n_buckets=4)
+    t = apply_batch(
+        t, _keyed_batch(spark, 0, [f"a{i:03d}" for i in range(40)]), 0,
+        merge_strategy="delta",
+    )
+    t = apply_batch(
+        t, _keyed_batch(spark, 100, [f"m{i:03d}" for i in range(40)]), 1,
+        merge_strategy="delta",
+    )
+    t = apply_batch(
+        t, _keyed_batch(spark, 200, [f"z{i:03d}" for i in range(40)]), 2,
+        merge_strategy="delta",
+    )
+    deltas = t.manifest["deltas"]
+    assert len(deltas) == 3
+    assert all(d.get("key_bounds") for d in deltas)
+    # every probed key is lexically below both later deltas' bounds
+    for d in deltas[1:]:
+        ddir = os.path.join(t.root, d["path"])
+        for f in os.listdir(ddir):
+            if f.endswith(".parquet"):
+                with open(os.path.join(ddir, f), "wb") as fh:
+                    fh.write(b"corrupt")
+    got = {r["doc_id"]: list(r["tokens"]) for r in t.lookup(["a005", "a017"]).collect()}
+    assert got == {"a005": [5], "a017": [17]}
+
+
+def test_keyed_read_without_bounds_is_conservative(spark, tdir):
+    """Bounds are an optimization, never a correctness dependency: a delta
+    entry with no key_bounds (older manifest, non-scalar key) must still
+    be read by keyed lookups."""
+    t = IceboxTable.create(spark, os.path.join(tdir, "tkc"), BASE_SCHEMA, n_buckets=4)
+    t = apply_batch(
+        t, _keyed_batch(spark, 0, [f"a{i:03d}" for i in range(20)]), 0,
+        merge_strategy="delta",
+    )
+    for d in t.manifest["deltas"]:
+        d.pop("key_bounds", None)  # simulate a pre-bounds manifest
+    got = {r["doc_id"] for r in t.lookup(["a007"]).collect()}
+    assert got == {"a007"}
+
+
+def test_key_bounds_travel_through_compaction(spark, tdir):
+    """commit_rewrite prunes compacted buckets out of surviving delta
+    entries; their key_bounds must be pruned in lockstep (a stale bound
+    for a dropped bucket would mis-skip after a later re-add)."""
+    t = IceboxTable.create(spark, os.path.join(tdir, "tkt"), BASE_SCHEMA, n_buckets=4)
+    t = apply_batch(
+        t, _keyed_batch(spark, 0, [f"d{i:03d}" for i in range(60)]), 0,
+        merge_strategy="delta",
+    )
+    live = sorted(int(b) for b in t.manifest["deltas"][0]["bucket_rows"])
+    assert len(live) >= 2
+    target = [live[0]]
+    merged = t.read(buckets=target, internal=True).withColumn("_b", t.bucket_of())
+    t = t.commit_rewrite(merged, target)
+    for d in t.manifest.get("deltas") or []:
+        assert set(d.get("key_bounds", {})) <= set(d["bucket_rows"])
+        assert str(target[0]) not in d.get("key_bounds", {})
+    # and lookups on both compacted and still-delta'd keys stay correct
+    got = {r["doc_id"] for r in t.lookup([f"d{i:03d}" for i in range(60)]).collect()}
+    assert got == {f"d{i:03d}" for i in range(60)}

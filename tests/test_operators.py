@@ -143,6 +143,30 @@ def test_quality_score_features(spark):
     assert 0.0 < r["quality"] <= 1.0
 
 
+def test_repetition_stats_golden(spark):
+    """Gopher-style repetition gates: hand-computed duplicate fractions
+    and the combined keep/drop flag."""
+    docs = [
+        ("clean", "one two three four five\nsix seven eight nine ten"),
+        ("dup_lines", "same line\nsame line\nsame line\nunique line"),
+        ("dup_words", "spam spam spam spam spam spam spam ham"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.repetition_stats(df).collect()}
+    assert got["clean"]["dup_line_frac"] == 0.0
+    assert got["clean"]["keep_doc"]
+    # 4 lines, 2 distinct -> 0.5 duplicate fraction, over the 0.30 gate
+    assert got["dup_lines"]["dup_line_frac"] == 0.5
+    assert not got["dup_lines"]["keep_doc"]
+    # 8 words, 2 distinct -> 0.75, over the 0.70 word gate
+    assert got["dup_words"]["dup_word_frac"] == 0.75
+    assert not got["dup_words"]["keep_doc"]
+    # empty doc: nothing repeats, kept
+    assert got["empty"]["dup_word_frac"] == 0.0
+    assert got["empty"]["keep_doc"]
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(0, "ab 12 c!d")], "doc_id long, text string")
     r = T.token_counts(df).collect()[0]
