@@ -43,6 +43,7 @@ from data_pipeline_spark.operators import similarity as S
 from data_pipeline_spark.operators import text as T
 from data_pipeline_spark.operators.text import BPE_PATTERN, LANGS, STOPWORDS
 from data_pipeline_spark.functions.portable import (
+    h64,
     h64_sql,
     norm_text_sql,
     shingles_sql,
@@ -1022,6 +1023,73 @@ FROM d
 """
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministically synthesized PII
+    (the synthetic corpus has none): 1/3 of docs get an email, 1/3 a
+    phone + IPv4, 1/3 stay clean — same construction in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    text2 = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(m == 1, F.concat(F.col("text"), F.lit(" call 555-867-5309 from 10.0.0.1")))
+        .otherwise(F.col("text"))
+    )
+    return T.pii_scrub(docs.select("doc_id", text2.alias("text")))
+
+
+def _sql_text_pii_scrub() -> str:
+    synth = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0
+       THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       WHEN doc_id % 3 = 1
+       THEN text || ' call 555-867-5309 from 10.0.0.1'
+       ELSE text END AS text
+FROM documents"""
+    return T.pii_scrub_sql(table=f"({synth})")
+
+
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs whose id ends in '7' act as the
+    held-out benchmark; every corpus doc is scored for 8-gram overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    return D.contamination(docs, bench, n=8)
+
+
+def _sql_dedup_contamination(n: int = 8) -> str:
+    w = words_sql("text")
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length({w}) >= {n}
+         THEN list_transform(range(1, length({w}) - {n - 2}),
+                             i -> array_to_string(({w})[i:i + {n - 1}], ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, {h64_sql('gram')} AS gh
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+bg AS (SELECT DISTINCT gh FROM dg WHERE doc_id % 10 = 7),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM dg JOIN bg USING (gh)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap_grams,
+  coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: synthesize a fake-codec binary column from
     document metadata, decode it back via Arrow-batched mapInPandas."""
@@ -1413,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
+        "dedup_contamination": q_dedup_contamination,
         "multimodal_meta": q_multimodal_meta,
         "model_impute": q_model_impute,
         "source_precedence_fold": q_source_precedence_fold,
@@ -1466,6 +1536,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),
+        "text_pii_scrub": _sql_text_pii_scrub(),
+        "dedup_contamination": _sql_dedup_contamination(),
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "model_impute": _sql_model_impute(),
         "source_precedence_fold": _SQL_SOURCE_PRECEDENCE_FOLD,

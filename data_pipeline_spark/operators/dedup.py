@@ -256,3 +256,70 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a held-out benchmark set — the standard train/test
+    contamination gate (13-gram overlap in GPT-3 appendix C; default 8
+    here to suit short docs; parameterizable).
+
+    Output: (id_col, n_overlap_grams, contaminated) for EVERY corpus doc
+    (zero-hit docs included).
+
+    Scale shape: each side reduces to DISTINCT h64 gram hashes — O(words)
+    per doc, 8 bytes per gram. The benchmark side is tiny relative to a
+    100 TB corpus (a benchmark suite is MBs), so it broadcasts and the
+    probe is a map-side broadcast join + one hash agg on uniformly
+    distributed doc ids; the corpus never shuffles on gram. With
+    broadcast_bench=False it degrades to a shuffled equi-join on the
+    gram hash (uniform by construction). Same cheap-candidate shape as
+    the reference's bucket-join cascade
+    (/root/reference/footprint-res/resolve-footprints.scala:128-175),
+    but against an external reference set instead of self-join.
+    """
+
+    def gram_hashes(frame: DataFrame, col: str, keep: list[str]) -> DataFrame:
+        staged = frame.select(*keep, words(col).alias("_w"))
+        n_w = F.size("_w")
+        grams = F.when(
+            n_w >= n,
+            F.transform(
+                F.sequence(F.lit(1), n_w - F.lit(n - 1)),
+                lambda i: h64(F.concat_ws(" ", F.slice("_w", i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return staged.select(*keep, F.explode(grams).alias("_g")).drop_duplicates(
+            [*keep, "_g"]
+        )
+
+    doc_grams = gram_hashes(ensure_parallelism(df), text_col, [id_col])
+    bench_grams = gram_hashes(
+        ensure_parallelism(bench), bench_text_col, []
+    ).drop_duplicates(["_g"])
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        doc_grams.join(bench_grams, "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap_grams"), F.lit(0)).cast("long").alias(
+                "n_overlap_grams"
+            ),
+            (F.coalesce(F.col("n_overlap_grams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

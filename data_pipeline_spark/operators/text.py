@@ -164,6 +164,65 @@ def repetition_stats(
     return staged.withColumn("keep_doc", keep)
 
 
+# PII patterns, kept to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround. Redaction
+# order is fixed (email -> phone -> ip) so both engines produce
+# byte-identical clean text even when patterns could overlap (an IPv4
+# inside a non-TLD email-like string is redacted as IP in both).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction — the standard pre-training scrub stage (emails,
+    phone numbers, IPv4 addresses replaced by typed tokens), plus
+    per-type match counts and a has_pii flag.
+
+    Counts are computed on the ORIGINAL text; redaction is sequential in
+    PII_PATTERNS order. Pure regexp built-ins inline with the scan — no
+    UDFs, no shuffle. Patterns are deliberately narrow/deterministic
+    (this is the distributed plumbing; swapping in heavier recognizers
+    is a pattern-list change).
+    """
+    staged = ensure_parallelism(df)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    out = staged.select(F.col(id_col), *counts, clean.alias("clean_text"))
+    has = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        has = c if has is None else (has | c)
+    return out.withColumn("has_pii", has)
+
+
+def pii_scrub_sql(table: str = "documents", id_col: str = "doc_id",
+                  text_expr: str = "text") -> str:
+    """DuckDB twin of pii_scrub (RE2; 'g' flag for global replace)."""
+    counts = ",\n  ".join(
+        f"CAST(length(regexp_extract_all({text_expr}, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = text_expr
+    for _, pat, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    flag = " OR ".join(f"n_{name} > 0" for name, _, _ in PII_PATTERNS)
+    return f"""
+SELECT {id_col}, n_email, n_phone, n_ip, clean_text, ({flag}) AS has_pii
+FROM (SELECT {id_col},
+  {counts},
+  {clean} AS clean_text
+FROM {table})
+"""
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

@@ -322,3 +322,43 @@ def test_multimodal_resize_and_feature_pipeline(spark):
     assert all(v <= k for k, v in reps.items())
     # at least the unit-norm features exist for every row
     assert feats.count() == 20
+
+
+def test_pii_scrub_golden(spark):
+    docs = [
+        (0, "mail bob.smith+x@corp.example.org then call 555-123-4567 at 10.0.0.42 ok"),
+        (1, "nothing sensitive here at all"),
+        (2, "version 1.2.3.4 of the spec"),  # IPv4-shaped -> redacted (by design)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.pii_scrub(df).collect()}
+    assert (got[0]["n_email"], got[0]["n_phone"], got[0]["n_ip"]) == (1, 1, 1)
+    assert got[0]["clean_text"] == "mail <EMAIL> then call <PHONE> at <IP> ok"
+    assert got[0]["has_pii"]
+    assert not got[1]["has_pii"]
+    assert got[1]["clean_text"] == docs[1][1]
+    # the narrow-pattern contract: anything IPv4-shaped is scrubbed
+    assert got[2]["n_ip"] == 1 and got[2]["clean_text"] == "version <IP> of the spec"
+
+
+def test_contamination_golden(spark):
+    corpus = [
+        (0, "alpha beta gamma delta epsilon zeta"),          # = benchmark doc
+        (1, "alpha beta gamma delta epsilon ZETA prime"),    # shares one 5-gram
+        (2, "one two three four five six seven"),            # disjoint
+        (3, "too short"),                                     # < n words -> 0 grams
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap_grams"], r["contaminated"])
+        for r in D.contamination(df, bench, n=5).collect()
+    }
+    # doc 0: its two 5-grams both appear in the benchmark
+    assert got[0] == (2, True)
+    # doc 1: only "alpha beta gamma delta epsilon" overlaps (ZETA != zeta)
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
