@@ -202,3 +202,77 @@ def test_maintenance_ops_preserve_replay_state(
         assert len(actual) == 0
         return
     assert_tables_equal(actual[list(expected.columns)], expected)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,  # the driver's gate must be deterministic
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=log_st,
+    splits=splits_st,
+    maintenance=st.lists(
+        st.sampled_from(["compact", "split", "none"]), min_size=4, max_size=4
+    ),
+)
+def test_keyed_lookup_equals_filtered_read_any_history(
+    spark, tmp_path_factory, events, splits, maintenance
+):
+    """The bounds-pruned lookup() must agree with an unpruned full-read
+    filter for ANY log, batching and maintenance interleaving — probing
+    live, deleted and never-existing keys. Guards the driver-side
+    key-bounds delta skipping against every manifest shape the engine
+    can produce (bounds present, pruned by compaction, re-bucketed by
+    splits)."""
+    rows = _dedupe_ties(_to_rows(events))
+    tdir = str(tmp_path_factory.mktemp("lkp"))
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=2)
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+            StructField("doc_id", StringType()),
+            StructField("tokens", ArrayType(IntegerType())),
+            StructField("n_tok", IntegerType()),
+            StructField("source", StringType()),
+        ]
+    )
+    df_all = spark.createDataFrame(rows, schema) if rows else None
+    bounds = sorted(set(splits)) + [41]
+    lo = -1
+    for b, hi in enumerate(bounds):
+        if df_all is None:
+            batch = spark.createDataFrame([], schema)
+        else:
+            batch = df_all.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        t = apply_batch(t, batch, b, n_salts=2, merge_strategy="delta")
+        op = maintenance[b % len(maintenance)]
+        if op == "compact":
+            t = t.compact_if_needed(ratio=0.0)
+        elif op == "split" and t.n_buckets <= 4:
+            t = t.split_buckets(factor=2)
+        lo = hi
+
+    # doc_0..doc_6 cover the live/deleted domain; doc_9 never exists
+    probes = [f"doc_{i}" for i in (0, 3, 6, 9)]
+    via_lookup = {
+        r["doc_id"]: r["tokens"] for r in t.lookup(probes).collect()
+    }
+    via_full = {
+        r["doc_id"]: r["tokens"]
+        for r in t.read().filter(F.col("doc_id").isin(probes)).collect()
+    }
+    assert via_lookup == via_full
+    assert "doc_9" not in via_lookup
