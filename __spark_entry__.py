@@ -1090,6 +1090,61 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship composition — a full training-data prep
+    pass: exact-dedup to canonical docs, Gopher repetition gate,
+    benchmark decontamination (docs with id%10==7 as the held-out set),
+    PII scrub, token counting. Every stage is one of the first-class
+    operators; every join keys on doc_id, so after the first exchange
+    all stages share one hash partitioning (Catalyst reuses it — no
+    re-shuffle per stage) and the gates themselves are single-scan
+    row-local expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    canon = D.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    keep = T.repetition_stats(docs).filter(F.col("keep_doc")).select("doc_id")
+    decont = (
+        D.contamination(docs, docs.filter(F.col("doc_id") % 10 == 7), n=8)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = T.pii_scrub(docs).select("doc_id", "clean_text")
+    tok = T.token_counts(docs).select("doc_id", "n_bpe_tokens")
+    return (
+        docs.select("doc_id")
+        .join(canon, "doc_id")
+        .join(keep, "doc_id")
+        .join(decont, "doc_id")
+        .join(clean, "doc_id")
+        .join(tok, "doc_id")
+    )
+
+
+def _sql_corpus_prep_pipeline() -> str:
+    return f"""
+WITH canon AS (
+  SELECT canonical_id AS doc_id FROM ({_SQL_DEDUP_EXACT})),
+keep AS (
+  SELECT doc_id FROM ({{rep}}) WHERE keep_doc),
+decont AS (
+  SELECT doc_id FROM ({{cont}}) WHERE NOT contaminated),
+clean AS (
+  SELECT doc_id, clean_text FROM ({{pii}})),
+tok AS (
+  SELECT doc_id, n_bpe_tokens FROM ({_SQL_TEXT_TOKEN_COUNTS}))
+SELECT d.doc_id, clean.clean_text, tok.n_bpe_tokens
+FROM documents d
+JOIN canon USING (doc_id)
+JOIN keep USING (doc_id)
+JOIN decont USING (doc_id)
+JOIN clean USING (doc_id)
+JOIN tok USING (doc_id)
+""".format(
+        rep=_sql_text_repetition(),
+        cont=_sql_dedup_contamination(),
+        pii=T.pii_scrub_sql(table="documents"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: synthesize a fake-codec binary column from
     document metadata, decode it back via Arrow-batched mapInPandas."""
@@ -1483,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "dedup_contamination": q_dedup_contamination,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "model_impute": q_model_impute,
         "source_precedence_fold": q_source_precedence_fold,
@@ -1538,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _sql_text_repetition(),
         "text_pii_scrub": _sql_text_pii_scrub(),
         "dedup_contamination": _sql_dedup_contamination(),
+        "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "model_impute": _sql_model_impute(),
         "source_precedence_fold": _SQL_SOURCE_PRECEDENCE_FOLD,

@@ -133,14 +133,25 @@ def repetition_stats(
     (/root/reference/grid-and-attrs/footprint.js:86-178): derived
     columns cheap enough to ride along with the scan.
     """
-    lines = F.split(F.col(text_col), "\n", -1)
-    w = words(text_col)
+    # STAGE the arrays as real columns, and build 2-grams with zip_with
+    # over two slices instead of element_at(w, i) inside transform(): a
+    # lambda that references the outer array re-evaluates it PER ELEMENT
+    # once predicate pushdown substitutes the staged column back in
+    # (filters aren't protected by SPARK-36718 staging) — measured 36×
+    # slower on repetition_stats(df).filter("keep_doc").
+    arrays = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n", -1).alias("_lines"),
+        words(text_col).alias("_w"),
+    )
+    w = F.col("_w")
     n_w = F.size(w)
     grams2 = F.when(
         n_w >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_w - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        F.zip_with(
+            F.slice(w, 1, n_w - 1),
+            F.slice(w, 2, n_w - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -150,9 +161,9 @@ def repetition_stats(
             n > 0, F.lit(1.0) - F.size(F.array_distinct(arr)) / n
         ).otherwise(F.lit(0.0))
 
-    staged = ensure_parallelism(df).select(
+    staged = arrays.select(
         F.col(id_col),
-        F.round(dup_frac(lines), 6).alias("dup_line_frac"),
+        F.round(dup_frac(F.col("_lines")), 6).alias("dup_line_frac"),
         F.round(dup_frac(w), 6).alias("dup_word_frac"),
         F.round(dup_frac(grams2), 6).alias("dup_2gram_frac"),
     )
