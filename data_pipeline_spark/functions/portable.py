@@ -43,6 +43,10 @@ def h64_sql(expr: str, salt: str | None = None) -> str:
 # ------------------------------------------------------------ shingles
 # character k-grams of a string, position order, duplicates kept.
 # Guard: Spark's sequence(1,0) DESCENDS ([1,0]); emit [] for short strings.
+# CONTRACT: pass a STAGED column attribute, never a computed expression —
+# the lambda reads `c` per element, so an inlined expression (or one
+# substituted back by predicate pushdown) is re-evaluated per shingle
+# (quadratic; see operators/text.py fingerprint + repetition notes).
 
 
 def shingles(col: Column | str, k: int = 5) -> Column:
