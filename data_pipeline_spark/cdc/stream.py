@@ -36,6 +36,7 @@ def run_stream(
     await_all: bool = True,
     merge_strategy: str = "auto",
     compact_ratio: float | None = None,
+    split_rows: int | None = None,
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
@@ -48,6 +49,9 @@ def run_stream(
     deltas back into base files after the epochs that outgrow it.
     Compaction runs AFTER the tagged epoch commit and moves no logical
     data, so a crash between the two leaves a replayable, correct table.
+    split_rows doubles the bucket count when mean rows/bucket exceed it
+    (split_if_needed) — the long-running-stream growth policy; like
+    compaction it runs post-commit and is crash-safe.
     """
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -60,6 +64,8 @@ def run_stream(
             tag_prefix=f"stream:{query_name}",
             merge_strategy=merge_strategy,
         )
+        if split_rows is not None:
+            table = table.split_if_needed(max_rows_per_bucket=split_rows)
         if compact_ratio is not None:
             table.compact_if_needed(ratio=compact_ratio)
 

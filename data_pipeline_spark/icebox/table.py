@@ -784,6 +784,30 @@ class IceboxTable:
             summary={"operation": "split_buckets", "from": old_n, "to": new_n},
         )
 
+    def split_if_needed(
+        self, max_rows_per_bucket: int, factor: int = 2
+    ) -> "IceboxTable":
+        """Maintenance policy: double the bucket count when the AVERAGE
+        live rows per bucket (base + delta, from manifest counters — no
+        Spark job) exceed `max_rows_per_bucket`. The auto-scaling partner
+        of compact_if_needed: compaction bounds per-bucket READ cost
+        between folds, this bounds per-bucket REWRITE cost as the table
+        grows (a compaction or CoW merge rewrites whole buckets, so
+        bucket size is the table's unit of write amplification). Keys
+        hash uniformly by construction, so mean ≈ max and a global
+        factor-split is the right growth step. A no-op returns self;
+        like compaction it moves no logical data, needs no exactly-once
+        tag, and is safe to re-run after a crash."""
+        base = sum(e.get("rows", 0) for e in self.manifest["buckets"].values())
+        delta = sum(
+            n
+            for d in self.manifest.get("deltas") or []
+            for n in d["bucket_rows"].values()
+        )
+        if (base + delta) <= max_rows_per_bucket * self.n_buckets:
+            return self
+        return self.split_buckets(factor=factor)
+
     def expire_snapshots(self, keep_last: int = 5) -> dict:
         """Iceberg-style maintenance: drop manifests older than the last
         `keep_last` snapshots and delete data directories no kept

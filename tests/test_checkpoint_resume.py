@@ -109,3 +109,24 @@ def test_stream_delta_mode_stop_resume_with_compaction(spark, tdir):
     assert any(
         e.get("path") is not None for e in final.manifest["buckets"].values()
     )
+
+
+def test_stream_auto_split_grows_buckets(spark, tdir):
+    """split_rows policy: a stream whose table outgrows the per-bucket
+    budget must double n_buckets mid-stream (post-commit, crash-safe)
+    and still replay to exactly the oracle state."""
+    events_dir = os.path.join(tdir, "events")
+    log = gen_event_log(spark, n_events=2000, n_docs=400, batch_size=500, partitions=4)
+    log.write.partitionBy("batch_id").parquet(events_dir)
+
+    root = os.path.join(tdir, "spl")
+    IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=2)
+    # ~400 live docs over 2 buckets with a 50-row budget -> must split
+    run_stream(spark, events_dir, EV_SCHEMA, root, os.path.join(tdir, "ck"),
+               query_name="spl", max_files_per_trigger=4,
+               merge_strategy="delta", split_rows=50)
+    final = IceboxTable.load(spark, root)
+    assert final.n_buckets > 2
+    got = final.read().toPandas()
+    expected = replay_oracle(log.toPandas(), PAYLOAD)
+    assert_tables_equal(got, expected[list(got.columns)])

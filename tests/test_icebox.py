@@ -337,3 +337,17 @@ def test_lookup_non_string_key(spark, tdir):
     )
     got = {r["k"]: r["v"] for r in t.lookup([3, 17, 25]).collect()}
     assert got == {3: "v3", 17: "v17", 25: "v25"}
+
+
+def test_split_if_needed_policy(spark, tdir):
+    """Average-rows-per-bucket policy: no-op under budget (same handle,
+    no commit), doubles buckets over budget, reads unchanged."""
+    root = os.path.join(tdir, "tsin")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    t = t.overwrite_all(_mkdf(spark, [(f"d{i}", [i], 1) for i in range(40)]))
+    assert t.split_if_needed(max_rows_per_bucket=100) is t  # 10/bucket, no-op
+    t2 = t.split_if_needed(max_rows_per_bucket=5)  # 10/bucket > 5 -> split
+    assert t2.n_buckets == 8
+    assert t2.read().count() == 40
+    got = {r["doc_id"] for k in range(40) for r in t2.lookup([f"d{k}"]).collect()}
+    assert got == {f"d{i}" for i in range(40)}
