@@ -1090,6 +1090,31 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass corpus statistic: per-doc rare-word counts against the
+    corpus document-frequency table (all-integer aggregates)."""
+    return T.rarity_stats(_t(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_RARITY = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest({words_sql('text')}) AS word FROM documents),
+dfreq AS (SELECT word, count(*) AS _df FROM dw GROUP BY word),
+per AS (
+  SELECT doc_id,
+    count(*) AS n_distinct_words,
+    CAST(sum(CASE WHEN _df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_words,
+    min(_df) AS min_df
+  FROM dw JOIN dfreq USING (word)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(per.n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
+  CAST(coalesce(per.n_rare_words, 0) AS BIGINT) AS n_rare_words,
+  CAST(per.min_df AS BIGINT) AS min_df
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's flagship composition — a full training-data prep
     pass: exact-dedup to canonical docs, Gopher repetition gate,
@@ -1537,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_rarity": q_text_rarity,
         "text_pii_scrub": q_text_pii_scrub,
         "dedup_contamination": q_dedup_contamination,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -1593,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),
+        "text_rarity": _SQL_TEXT_RARITY,
         "text_pii_scrub": _sql_text_pii_scrub(),
         "dedup_contamination": _sql_dedup_contamination(),
         "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),

@@ -262,3 +262,55 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             F.size("_sh") > 0, F.array_min(F.transform("_sh", lambda x: h64(x)))
         ).alias("fp_winnow"),
     )
+
+
+def rarity_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_df_max: int = 2,
+) -> DataFrame:
+    """Corpus-level word rarity per document — the two-pass statistic
+    behind rare-word/gibberish filtering (a doc whose vocabulary is
+    mostly corpus-rare words is OCR noise, lorem ipsum, or another
+    language): per doc, its distinct-word count, how many of those words
+    have corpus document-frequency ≤ rare_df_max, and the minimum DF.
+
+    All-integer aggregates (counts, min) — exactly reproducible
+    cross-engine, no float-summation order sensitivity.
+
+    Scale shape: pass 1 aggregates document frequency on the word key
+    (uniformly distributed, map-side combined); pass 2 joins DF back to
+    the (doc, word) pairs on the same word key — no extra shuffle for
+    the probe side — then one aggregate on doc_id. Both shuffles key on
+    high-cardinality uniform columns; nothing collects, nothing
+    broadcasts a corpus-sized set.
+    """
+    staged = ensure_parallelism(df).select(F.col(id_col), words(text_col).alias("_w"))
+    dw = staged.select(F.col(id_col), F.explode("_w").alias("_word")).drop_duplicates(
+        [id_col, "_word"]
+    )
+    dfreq = dw.groupBy("_word").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        dw.join(dfreq, "_word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum((F.col("_df") <= rare_df_max).cast("long")).alias("n_rare_words"),
+            F.min("_df").alias("min_df"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_distinct_words"), F.lit(0)).cast("long").alias(
+                "n_distinct_words"
+            ),
+            F.coalesce(F.col("n_rare_words"), F.lit(0)).cast("long").alias(
+                "n_rare_words"
+            ),
+            F.col("min_df").cast("long").alias("min_df"),
+        )
+    )

@@ -362,3 +362,18 @@ def test_contamination_golden(spark):
     assert got[1] == (1, True)
     assert got[2] == (0, False)
     assert got[3] == (0, False)
+
+
+def test_rarity_stats_golden(spark):
+    """Hand-computed corpus document frequencies: 'shared' appears in 3
+    docs (common), 'solo'/'unique'/'rare' in one each (rare at df<=2)."""
+    docs = [
+        (0, "shared solo"),
+        (1, "shared unique"),
+        (2, "shared rare shared"),  # duplicate word counts once for DF
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.rarity_stats(df).collect()}
+    assert got[0] == {"doc_id": 0, "n_distinct_words": 2, "n_rare_words": 1, "min_df": 1}
+    assert got[1] == {"doc_id": 1, "n_distinct_words": 2, "n_rare_words": 1, "min_df": 1}
+    assert got[2] == {"doc_id": 2, "n_distinct_words": 2, "n_rare_words": 1, "min_df": 1}
