@@ -1115,6 +1115,45 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_text_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain hygiene gate over documents with deterministically
+    synthesized links (the corpus has none): 1/4 of docs get a clean
+    link, 1/4 a blocklisted tracker link, half stay link-free."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    text2 = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://ok.example/a/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" via http://tracker.example/p?x=1 and https://ok.example/z"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return T.url_stats(docs.select("doc_id", text2.alias("text")))
+
+
+def _sql_text_url_gate() -> str:
+    synth = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0
+       THEN text || ' see https://ok.example/a/' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 4 = 1
+       THEN text || ' via http://tracker.example/p?x=1 and https://ok.example/z'
+       ELSE text END AS text
+FROM documents"""
+    return T.url_stats_sql(table=f"({synth})")
+
+
 def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's flagship composition — a full training-data prep
     pass: exact-dedup to canonical docs, Gopher repetition gate,
@@ -1563,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_rarity": q_text_rarity,
+        "text_url_gate": q_text_url_gate,
         "text_pii_scrub": q_text_pii_scrub,
         "dedup_contamination": q_dedup_contamination,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -1620,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),
         "text_rarity": _SQL_TEXT_RARITY,
+        "text_url_gate": _sql_text_url_gate(),
         "text_pii_scrub": _sql_text_pii_scrub(),
         "dedup_contamination": _sql_dedup_contamination(),
         "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),

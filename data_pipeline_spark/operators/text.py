@@ -314,3 +314,57 @@ def rarity_stats(
             F.col("min_df").cast("long").alias("min_df"),
         )
     )
+
+
+# URL pattern, Java-regex/RE2-portable (group 1 = host). [^\s]* eats the
+# path so counts see one match per URL, not per path segment.
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)[^\s]*"
+
+
+def url_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocked_domains: tuple = ("tracker.example", "spam.example"),
+) -> DataFrame:
+    """URL/domain gate — the standard pre-training link hygiene stage:
+    per doc, the URL count, the distinct extracted hosts (sorted,
+    CSV-joined for engine-portable output), and a blocklist flag (exact
+    host match against `blocked_domains`).
+
+    Pure regexp built-ins inline with the scan; the blocklist is a
+    literal array (a real deployment broadcasts a blocklist table and
+    joins on host — the contamination() operator shows that shape).
+    """
+    hosts = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 1)
+    )
+    blocked = F.arrays_overlap(
+        hosts, F.array(*[F.lit(d) for d in blocked_domains])
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)).cast("int").alias("n_urls"),
+        F.concat_ws(",", F.array_sort(hosts)).alias("hosts"),
+        F.coalesce(blocked, F.lit(False)).alias("has_blocked_url"),
+    )
+
+
+def url_stats_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    blocked_domains: tuple = ("tracker.example", "spam.example"),
+) -> str:
+    """DuckDB twin of url_stats."""
+    blist = ", ".join(f"'{d}'" for d in blocked_domains)
+    pat = URL_PATTERN
+    return f"""
+SELECT {id_col},
+  CAST(length(regexp_extract_all({text_expr}, '{pat}')) AS INT) AS n_urls,
+  coalesce(array_to_string(list_sort(list_distinct(
+      regexp_extract_all({text_expr}, '{pat}', 1))), ','), '') AS hosts,
+  len(list_intersect(list_distinct(regexp_extract_all({text_expr}, '{pat}', 1)),
+      [{blist}])) > 0 AS has_blocked_url
+FROM {table}
+"""

@@ -377,3 +377,18 @@ def test_rarity_stats_golden(spark):
     assert got[0] == {"doc_id": 0, "n_distinct_words": 2, "n_rare_words": 1, "min_df": 1}
     assert got[1] == {"doc_id": 1, "n_distinct_words": 2, "n_rare_words": 1, "min_df": 1}
     assert got[2] == {"doc_id": 2, "n_distinct_words": 2, "n_rare_words": 1, "min_df": 1}
+
+
+def test_url_stats_golden(spark):
+    docs = [
+        (0, "read https://a.example/x and http://b.example/y?q=1 now"),
+        (1, "plain text no links"),
+        (2, "bad http://tracker.example/pixel here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.url_stats(df).collect()}
+    assert got[0]["n_urls"] == 2
+    assert got[0]["hosts"] == "a.example,b.example"
+    assert not got[0]["has_blocked_url"]
+    assert got[1] == {"doc_id": 1, "n_urls": 0, "hosts": "", "has_blocked_url": False}
+    assert got[2]["has_blocked_url"]
