@@ -414,9 +414,11 @@ def _apply_delta_fused(
 
     Versus the generic path this removes the winners persist (no cache
     serialization of token arrays — the dominant per-batch constant
-    measured at small batch sizes) and the separate write job. A batch
-    rejected for malformed events deletes the staged dir and rolls back
-    the in-memory schema evolution — nothing was committed.
+    measured at small batch sizes) and the separate write job. ANY
+    failure after the stage (malformed batch, executor loss during the
+    stats job, ConcurrentCommitError at publish) deletes the staged dir
+    and rolls back the in-memory schema evolution — a failed apply
+    leaves no orphan data and no half-evolved handle state.
     """
     import shutil
 
@@ -436,80 +438,86 @@ def _apply_delta_fused(
     snap_rel = table.stage_delta(deltas, extra_cols=["_n_ev", "_wm", "_bad"])
     snap_abs = os.path.join(table.root, snap_rel)
 
-    stats_schema = StructType(
-        [
-            StructField("_b", IntegerType()),
-            *table.schema.fields,
-            *INTERNAL_FIELDS,
-            StructField("_n_ev", LongType()),
-            StructField("_wm", LongType()),
-            StructField("_bad", LongType()),
-        ]
-    )
-    stats = (
-        table.spark.read.schema(stats_schema)
-        .parquet(snap_abs)
-        .groupBy("_b")
-        .agg(
-            F.sum("_n_ev").alias("events_applied"),
-            F.max("_wm").alias("lsn_watermark"),
-            F.sum("_bad").alias("bad_events"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.coalesce(F.col("_tombstone"), F.lit(False)).cast("long")).alias(
-                "n_dels"
-            ),
-            # per-bucket key bounds → manifest file statistics: keyed
-            # reads skip this whole delta when no probe fits the range
-            F.min(key).alias("_kmin"),
-            F.max(key).alias("_kmax"),
+    try:
+        stats_schema = StructType(
+            [
+                StructField("_b", IntegerType()),
+                *table.schema.fields,
+                *INTERNAL_FIELDS,
+                StructField("_n_ev", LongType()),
+                StructField("_wm", LongType()),
+                StructField("_bad", LongType()),
+            ]
         )
-        .collect()
-    )
-    bad = sum(r["bad_events"] or 0 for r in stats)
-    if bad:
+        stats = (
+            table.spark.read.schema(stats_schema)
+            .parquet(snap_abs)
+            .groupBy("_b")
+            .agg(
+                F.sum("_n_ev").alias("events_applied"),
+                F.max("_wm").alias("lsn_watermark"),
+                F.sum("_bad").alias("bad_events"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.coalesce(F.col("_tombstone"), F.lit(False)).cast("long")
+                ).alias("n_dels"),
+                # per-bucket key bounds → manifest file statistics: keyed
+                # reads skip this whole delta when no probe fits the range
+                F.min(key).alias("_kmin"),
+                F.max(key).alias("_kmax"),
+            )
+            .collect()
+        )
+        bad = sum(r["bad_events"] or 0 for r in stats)
+        if bad:
+            raise ValueError(
+                f"batch {batch_id}: {bad} events with unknown op, null lsn, "
+                f"or null {key} (valid ops: {sorted(OP_RANK)}) — refusing to apply"
+            )
+        touched = [int(r["_b"]) for r in stats if r["n"]]
+        if not touched:
+            shutil.rmtree(snap_abs, ignore_errors=True)
+            return table.commit_rewrite(
+                table.spark.createDataFrame([], _merged_schema(table)),
+                [],
+                tag=tag,
+                summary={"operation": "merge", "events": 0},
+            )
+        bid = int(batch_id) if str(batch_id).lstrip("-").isdigit() else -1
+        lineage = [
+            (
+                bid,
+                int(r["_b"]),
+                int(r["events_applied"]),
+                int(r["n"]) - int(r["n_dels"] or 0),
+                int(r["n_dels"] or 0),
+                int(r["lsn_watermark"]),
+            )
+            for r in stats
+        ]
+        bucket_rows = {int(r["_b"]): int(r["n"]) for r in stats}
+        key_bounds = {int(r["_b"]): (r["_kmin"], r["_kmax"]) for r in stats}
+        return table.commit_staged_delta(
+            snap_rel,
+            bucket_rows,
+            key_bounds=key_bounds,
+            tag=tag,
+            lineage=lineage,
+            summary={
+                "operation": "merge",
+                "strategy": "delta",
+                "touched_buckets": len(touched),
+                "winners": sum(bucket_rows.values()),
+            },
+        )
+    except Exception:
+        # nothing committed — reclaim the staged dir now (not waiting for
+        # expire_snapshots) and restore the handle's pre-batch schema
+        # state; idempotent with the empty-batch rmtree above
         shutil.rmtree(snap_abs, ignore_errors=True)
         table.manifest["current_schema_id"] = saved_schema_id
         table.manifest["schemas"] = saved_schemas
-        raise ValueError(
-            f"batch {batch_id}: {bad} events with unknown op, null lsn, "
-            f"or null {key} (valid ops: {sorted(OP_RANK)}) — refusing to apply"
-        )
-    touched = [int(r["_b"]) for r in stats if r["n"]]
-    if not touched:
-        shutil.rmtree(snap_abs, ignore_errors=True)
-        return table.commit_rewrite(
-            table.spark.createDataFrame([], _merged_schema(table)),
-            [],
-            tag=tag,
-            summary={"operation": "merge", "events": 0},
-        )
-    bid = int(batch_id) if str(batch_id).lstrip("-").isdigit() else -1
-    lineage = [
-        (
-            bid,
-            int(r["_b"]),
-            int(r["events_applied"]),
-            int(r["n"]) - int(r["n_dels"] or 0),
-            int(r["n_dels"] or 0),
-            int(r["lsn_watermark"]),
-        )
-        for r in stats
-    ]
-    bucket_rows = {int(r["_b"]): int(r["n"]) for r in stats}
-    key_bounds = {int(r["_b"]): (r["_kmin"], r["_kmax"]) for r in stats}
-    return table.commit_staged_delta(
-        snap_rel,
-        bucket_rows,
-        key_bounds=key_bounds,
-        tag=tag,
-        lineage=lineage,
-        summary={
-            "operation": "merge",
-            "strategy": "delta",
-            "touched_buckets": len(touched),
-            "winners": sum(bucket_rows.values()),
-        },
-    )
+        raise
 
 
 def _merge_join(

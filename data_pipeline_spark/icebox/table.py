@@ -787,9 +787,16 @@ class IceboxTable:
     def split_if_needed(
         self, max_rows_per_bucket: int, factor: int = 2
     ) -> "IceboxTable":
-        """Maintenance policy: double the bucket count when the AVERAGE
-        live rows per bucket (base + delta, from manifest counters — no
-        Spark job) exceed `max_rows_per_bucket`. The auto-scaling partner
+        """Maintenance policy: double the bucket count when the average
+        PHYSICAL rows per bucket (base + delta, from manifest counters —
+        no Spark job) exceed `max_rows_per_bucket`. The counters include
+        tombstones and count a key once per delta commit it appears in,
+        so they are an UPPER BOUND on live rows — a split can trigger
+        before the live-row budget is truly exceeded. That bias is the
+        right direction for a write-amplification bound (physical rows
+        are what a compaction/CoW rewrite actually moves), and
+        compact_if_needed collapses the per-delta duplicates that drive
+        the bound back down. The auto-scaling partner
         of compact_if_needed: compaction bounds per-bucket READ cost
         between folds, this bounds per-bucket REWRITE cost as the table
         grows (a compaction or CoW merge rewrites whole buckets, so
@@ -895,9 +902,16 @@ class IceboxTable:
             ) from None
         finally:
             os.remove(tmp)
-        # power-loss durability, not just process-crash atomicity: the
-        # link's directory entry must itself reach disk before the commit
-        # is reported durable
+        # COMMIT-RECORD durability (not full-table power-loss durability):
+        # the link's directory entry must reach disk before the commit is
+        # reported, so the manifest chain itself survives power loss. The
+        # parquet data files it references are written by Spark WITHOUT
+        # fsync — after a power cut a durable commit record may point at
+        # missing/truncated data (readers fail loudly on the missing
+        # files; recovery = rollback to the previous snapshot). Closing
+        # that gap needs an fsync sweep of the data dir before this link,
+        # or an object store with close-to-durable semantics (S3 et al.,
+        # the deployment target this layout models).
         _fsync_dir(meta_dir)
         cur_tmp = os.path.join(meta_dir, f"CURRENT.tmp-{uuid.uuid4().hex[:8]}")
         with open(cur_tmp, "w") as f:

@@ -279,16 +279,22 @@ def rarity_stats(
     All-integer aggregates (counts, min) — exactly reproducible
     cross-engine, no float-summation order sensitivity.
 
-    Scale shape: pass 1 aggregates document frequency on the word key
-    (uniformly distributed, map-side combined); pass 2 joins DF back to
-    the (doc, word) pairs on the same word key — no extra shuffle for
-    the probe side — then one aggregate on doc_id. Both shuffles key on
-    high-cardinality uniform columns; nothing collects, nothing
-    broadcasts a corpus-sized set.
+    Scale shape: the exploded (doc, word) pairs cross ONE exchange, keyed
+    on _word. HashPartitioning(_word) satisfies the (doc, word) dedup
+    aggregate's clustered-distribution requirement (partitioning keys ⊆
+    grouping keys), the document-frequency aggregate groups on _word
+    itself, and the dw⋈dfreq equi-join is co-partitioned on _word — so
+    dedup, DF, and the join all reuse that single exchange; the only
+    other shuffle is the final per-doc rollup on doc_id. Both keys are
+    high-cardinality and uniform; nothing collects, nothing broadcasts a
+    corpus-sized set. (Plan-asserted in PLANS.md: the (doc, word)-scale
+    data crosses exactly 2 exchanges.)
     """
     staged = ensure_parallelism(df).select(F.col(id_col), words(text_col).alias("_w"))
-    dw = staged.select(F.col(id_col), F.explode("_w").alias("_word")).drop_duplicates(
-        [id_col, "_word"]
+    dw = (
+        staged.select(F.col(id_col), F.explode("_w").alias("_word"))
+        .repartition("_word")
+        .drop_duplicates([id_col, "_word"])
     )
     dfreq = dw.groupBy("_word").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
@@ -317,8 +323,11 @@ def rarity_stats(
 
 
 # URL pattern, Java-regex/RE2-portable (group 1 = host). [^\s]* eats the
-# path so counts see one match per URL, not per path segment.
-URL_PATTERN = r"https?://([A-Za-z0-9.-]+)[^\s]*"
+# path so counts see one match per URL, not per path segment. (?i) makes
+# the scheme AND host match case-insensitively in both engines (URLs are
+# case-insensitive in scheme/host per RFC 3986); extracted hosts are
+# lowercased before the blocklist comparison for the same reason.
+URL_PATTERN = r"(?i)https?://([A-Za-z0-9.-]+)[^\s]*"
 
 
 def url_stats(
@@ -337,7 +346,10 @@ def url_stats(
     joins on host — the contamination() operator shows that shape).
     """
     hosts = F.array_distinct(
-        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 1)
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 1),
+            lambda h: F.lower(h),
+        )
     )
     blocked = F.arrays_overlap(
         hosts, F.array(*[F.lit(d) for d in blocked_domains])
@@ -359,12 +371,14 @@ def url_stats_sql(
     """DuckDB twin of url_stats."""
     blist = ", ".join(f"'{d}'" for d in blocked_domains)
     pat = URL_PATTERN
+    lhosts = (
+        f"list_transform(regexp_extract_all({text_expr}, '{pat}', 1), "
+        "x -> lower(x))"
+    )
     return f"""
 SELECT {id_col},
   CAST(length(regexp_extract_all({text_expr}, '{pat}')) AS INT) AS n_urls,
-  coalesce(array_to_string(list_sort(list_distinct(
-      regexp_extract_all({text_expr}, '{pat}', 1))), ','), '') AS hosts,
-  len(list_intersect(list_distinct(regexp_extract_all({text_expr}, '{pat}', 1)),
-      [{blist}])) > 0 AS has_blocked_url
+  coalesce(array_to_string(list_sort(list_distinct({lhosts})), ','), '') AS hosts,
+  len(list_intersect(list_distinct({lhosts}), [{blist}])) > 0 AS has_blocked_url
 FROM {table}
 """

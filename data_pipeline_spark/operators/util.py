@@ -4,14 +4,23 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 from pyspark.sql import DataFrame
 
 # plan nodes that imply the frame is no longer scan-shaped: an exchange
 # already (re)set its parallelism to spark.sql.shuffle.partitions, and —
 # worse — probing df.rdd on such a plan under AQE EXECUTES the upstream
-# stages to finalize the adaptive plan
-_SHUFFLE_NODES = ("Join", "Aggregate", "Window", "Repartition", "Sort", "Deduplicate")
+# stages to finalize the adaptive plan. Matched as NODE NAMES — at a
+# line start after tree-drawing chars, word-bounded — not raw substrings
+# of the whole plan string (a relation or column literally named
+# "JoinedData" must not false-positive and silently skip the
+# small-input repartition).
+_SHUFFLE_NODE_RE = re.compile(
+    r"^[ :+\-]*(?:Join|Aggregate|Window|Sort|Deduplicate|"
+    r"Repartition\w*|RebalancePartitions\w*)\b",
+    re.MULTILINE,
+)
 
 
 def _conf_bytes(spark, key: str, default: int) -> int:
@@ -56,7 +65,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return df
-    if any(n in plan for n in _SHUFFLE_NODES):
+    if _SHUFFLE_NODE_RE.search(plan):
         return df
     files = df.inputFiles()
     if not files:
