@@ -443,54 +443,52 @@ GROUP BY r_name, n_name
 """
 
 
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 left-semi: customers having a high-value order."""
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 left-semi + J4 left-anti (the reference's collisions-removal
+    composition, resolve-footprints.scala:180-183, as built-in join
+    types) + U1/A3 unionByName+distinct — one labeled set frame, so
+    every set operator keeps a driver-checked oracle row (the driver's
+    correctness file caps at 50 queries):
+
+      ('semi', custkey)   customers WITH a high-value order
+      ('anti', custkey)   customers WITHOUT one
+      ('union:<side>', nationkey)  distinct customer/supplier nations
+    """
     c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_mktsegment"
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("semi").alias("op"), F.col("c_custkey").cast("long").alias("k")
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("op"), F.col("c_custkey").cast("long").alias("k")
+    )
+    uni = (
+        c.select(F.col("c_nationkey").alias("k"), F.lit("customer").alias("side"))
+        .unionByName(
+            s.select(F.col("s_nationkey").alias("k"), F.lit("supplier").alias("side"))
+        )
+        .distinct()
+        .select(
+            F.concat(F.lit("union:"), F.col("side")).alias("op"),
+            F.col("k").cast("long").alias("k"),
+        )
+    )
+    return semi.unionByName(anti).unionByName(uni)
 
 
-_SQL_SEMI_JOIN = """
-SELECT c_custkey, c_name, c_mktsegment FROM customer
+_SQL_SET_OPS = """
+SELECT 'semi' AS op, CAST(c_custkey AS BIGINT) AS k FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
-"""
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 left-anti (the reference's collisions-removal composition,
-    resolve-footprints.scala:180-183, as the built-in join type):
-    customers with no high-value order."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_acctbal"
-    )
-
-
-_SQL_ANTI_JOIN = """
-SELECT c_custkey, c_name, c_acctbal FROM customer
+UNION ALL
+SELECT 'anti' AS op, CAST(c_custkey AS BIGINT) AS k FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
-"""
-
-
-def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1+A3: unionByName + distinct over two keyed projections."""
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
-    )
-    s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
-    )
-    return c.unionByName(s).distinct()
-
-
-_SQL_UNION_DISTINCT = """
-SELECT DISTINCT nationkey, side FROM (
-  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
-  UNION ALL
-  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
+UNION ALL
+SELECT 'union:' || side AS op, CAST(k AS BIGINT) AS k FROM (
+  SELECT DISTINCT nationkey AS k, side FROM (
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier))
 """
 
 
@@ -732,27 +730,6 @@ GROUP BY v.vec_id
 """
 
 
-def q_embed_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization (the scale path for ANN alongside LSH):
-    every vector assigned to its nearest-of-64 deterministic pivots."""
-    return S.ivf_assign(_t(spark, sf_dir, "embeddings"), n_pivots=64)
-
-
-_SQL_EMBED_IVF_ASSIGN = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-p AS (SELECT vec_id AS pivot_id, ve AS pv FROM v WHERE vec_id < 64),
-sc AS (
-  SELECT v.vec_id AS vec_id, pivot_id,
-         list_sum(list_transform(range(1, 65), i -> ve[i] * pv[i])) /
-         (sqrt(list_sum(list_transform(range(1, 65), i -> ve[i] * ve[i]))) *
-          sqrt(list_sum(list_transform(range(1, 65), i -> pv[i] * pv[i])))) AS c
-  FROM v, p)
-SELECT vec_id, pivot_id, round(c, 6) AS cos FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, pivot_id) rn FROM sc)
-WHERE rn = 1
-"""
-
-
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe SEARCH end-to-end (the ANN scale path, not just the
     assignment stage): exact cosine only against vectors whose pivot is
@@ -885,26 +862,13 @@ GROUP BY v.vec_id
 """
 
 
-def q_embed_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return v.select(
-        "vec_id", S.lsh_bits(F.col("v"), dim=64, n_planes=8, table=0).alias("bucket")
-    )
-
-
-def _sql_embed_lsh_buckets() -> str:
-    coef = h64_sql("concat('0:', CAST(p AS VARCHAR), ':', CAST(i AS VARCHAR))")
-    return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-bits AS (
-  SELECT vec_id, p,
-         CASE WHEN list_sum(list_transform(range(0, 64),
-              i -> ve[i + 1] * (({coef} % 2001 - 1000) / 1000.0))) >= 0
-              THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
-  FROM v, range(0, 8) t(p))
-SELECT vec_id, CAST(sum(bit << CAST(p AS INT)) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
-"""
+# (The standalone embed_lsh_buckets / embed_ivf_assign oracle queries from
+# rounds 1-3 were folded into their end-to-end search twins — ivf_topk
+# computes the IVF assignment internally, lsh_bucket_topk computes the
+# bucketing internally — so every operator keeps a driver-checked row
+# within the driver's 50-query correctness cap. The operators themselves
+# (similarity.ivf_assign, similarity.lsh_bits) are unchanged and remain
+# pytest-covered.)
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,6 +1054,134 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+_INC_ROOT_CACHE: dict[str, str] = {}
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup against a standing corpus — the dedup
+    library wired into the CDC spine (operators/incremental_dedup.py;
+    the reference's incoming-vs-master collision loop,
+    resolve-footprints.scala:121-188, made persistent): 4 change batches
+    applied in order through a persisted MinHash band index; each
+    batch's docs probe only the index (O(batch·cap) candidates,
+    hot-bucket cap 16 binding), never recompute corpus signatures.
+    Near-dup clones (doc_id+100001, text + ' near duplicate tail') are
+    planted so cross-batch collisions actually occur; a doc's rep is the
+    min over confirmed EARLIER near-dups (first-seen wins), else itself.
+    The DuckDB twin replays the identical 4 batches over the same
+    band/cap/signature-agreement logic, unrolled."""
+    from data_pipeline_spark.operators.incremental_dedup import IncrementalDeduper
+
+    # bounded corpus slice, like the other CORRECTNESS-baseline dedup
+    # queries (the unrolled 4-batch DuckDB replay is the expensive side);
+    # covers every sf0.01 doc, bounds the bench rerun at sf0.1
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+    )
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat("text", F.lit(" near duplicate tail")).alias("text"),
+    )
+    corpus = docs.unionByName(clones).withColumn(
+        "b", F.pmod("doc_id", F.lit(4)).cast("int")
+    )
+    root = _INC_ROOT_CACHE.get(sf_dir)
+    if root is None:
+        root = os.path.join(tempfile.mkdtemp(prefix="incdedup_"), "idx")
+        _INC_ROOT_CACHE[sf_dir] = root
+    ded = IncrementalDeduper(
+        spark, root, k=8, bands=4, shingle=5, n_parts=16, cap=16, min_agree=4
+    )
+    out = None
+    for b in range(4):
+        a = ded.apply_batch(
+            corpus.filter(F.col("b") == b).select("doc_id", "text"), b
+        ).withColumn("batch_id", F.lit(b))
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
+def _sql_dedup_incremental(
+    n_batches: int = 4, k: int = 8, bands: int = 4, shingle: int = 5,
+    cap: int = 16, min_agree: int = 4,
+) -> str:
+    """Unrolled DuckDB replay of IncrementalDeduper over the same 4
+    batches: per batch i, the capped candidate set ranks ALL docs
+    visible at i (batches < i = the index, batch = i = peers) per band
+    bucket by the same deterministic hash; candidates must be earlier
+    (index doc, or peer with smaller id); verify = signature agreement
+    ≥ min_agree of k; rep = min over matched candidates' OWN assigned
+    reps (index docs) or ids (peers)."""
+    from data_pipeline_spark.operators.dedup import MINHASH_P, minhash_consts
+
+    rows = k // bands
+    mixes = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        for a, b in minhash_consts(k)
+    )
+    sh = shingles_sql("text", shingle)
+    bkey_selects = []
+    for b in range(bands):
+        vals = ", ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        e = h64_sql(f"concat_ws(',', '{b}', {vals})")
+        bkey_selects.append(f"SELECT doc_id, b, sig, {e} AS bkey FROM sig")
+    bnd = " UNION ALL ".join(bkey_selects)
+    cap_h = h64_sql("CAST(doc_id AS VARCHAR)", salt="icap")
+    parts = [
+        f"""corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+  UNION ALL
+  SELECT doc_id + 100001 AS doc_id, text || ' near duplicate tail' AS text
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2000),
+corpb AS (SELECT doc_id, text, CAST(doc_id % {n_batches} AS INT) AS b FROM corpus),
+sh AS (SELECT doc_id, b, {sh} AS s FROM corpb),
+hs AS (SELECT doc_id, b, list_transform(s, x -> {h64_sql('x')}) AS hs FROM sh),
+sig AS (SELECT doc_id, b, [{mixes}] AS sig FROM hs),
+bnd AS ({bnd})"""
+    ]
+    finals = []
+    for i in range(n_batches):
+        agree = f"len(list_filter(range(1, {k + 1}), j -> n.sig[j] = c.sig[j]))"
+        if i == 0:
+            rep_expr = "c.cid"
+            join_prev = ""
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id, rep_id FROM a{j}" for j in range(i)
+            )
+            parts.append(f"asgp{i} AS ({prev})")
+            rep_expr = f"CASE WHEN c.cb < {i} THEN p.rep_id ELSE c.cid END"
+            join_prev = f"LEFT JOIN asgp{i} p ON p.doc_id = c.cid"
+        parts.append(
+            f"""cap{i} AS (
+  SELECT doc_id AS cid, b AS cb, sig, bkey FROM (
+    SELECT *, row_number() OVER (PARTITION BY bkey ORDER BY {cap_h}, doc_id) r
+    FROM bnd WHERE b <= {i}) WHERE r <= {cap})"""
+        )
+        parts.append(
+            f"""m{i} AS (
+  SELECT n.doc_id AS nid, min({rep_expr}) AS mrep
+  FROM bnd n JOIN cap{i} c USING (bkey) {join_prev}
+  WHERE n.b = {i} AND c.cid <> n.doc_id AND (c.cb < {i} OR c.cid < n.doc_id)
+    AND {agree} >= {min_agree}
+  GROUP BY n.doc_id)"""
+        )
+        parts.append(
+            f"""a{i} AS (
+  SELECT d.doc_id, coalesce(m.mrep, d.doc_id) AS rep_id
+  FROM (SELECT DISTINCT doc_id FROM corpb WHERE b = {i}) d
+  LEFT JOIN m{i} m ON m.nid = d.doc_id)"""
+        )
+        finals.append(
+            f"SELECT doc_id, rep_id, CAST({i} AS INT) AS batch_id FROM a{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass corpus statistic: per-doc rare-word counts against the
     corpus document-frequency table (all-integer aggregates)."""
@@ -1132,9 +1224,13 @@ def q_text_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             m == 1,
+            # uppercase scheme+host on the tracker link: exercises the
+            # (?i) pattern + host lowercasing (URLs are case-insensitive
+            # in scheme/host; an uppercased blocklisted URL must still
+            # count and still block)
             F.concat(
                 F.col("text"),
-                F.lit(" via http://tracker.example/p?x=1 and https://ok.example/z"),
+                F.lit(" via HTTP://Tracker.Example/p?x=1 and https://ok.example/z"),
             ),
         )
         .otherwise(F.col("text"))
@@ -1148,7 +1244,7 @@ SELECT doc_id,
   CASE WHEN doc_id % 4 = 0
        THEN text || ' see https://ok.example/a/' || CAST(doc_id AS VARCHAR)
        WHEN doc_id % 4 = 1
-       THEN text || ' via http://tracker.example/p?x=1 and https://ok.example/z'
+       THEN text || ' via HTTP://Tracker.Example/p?x=1 and https://ok.example/z'
        ELSE text END AS text
 FROM documents"""
     return T.url_stats_sql(table=f"({synth})")
@@ -1208,6 +1304,55 @@ JOIN tok USING (doc_id)
         cont=_sql_dedup_contamination(),
         pii=T.pii_scrub_sql(table="documents"),
     )
+
+
+def q_corpus_prep_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_prep_pipeline with the F26 MODEL GATE chained in — the
+    reference chains inference into its resolution flow the same way
+    (height imputation inside resolve,
+    /root/reference/footprint-res/resolve-footprints.scala:99-102):
+    every surviving doc gets a model token estimate (measured for src0
+    docs, Arrow-batched regression-tree prediction otherwise —
+    operators/inference.py), and docs whose estimate falls below 40
+    tokens are gated out (≈ the corpus 20th percentile — the gate
+    actually binds). The id-only gate frames still broadcast; the
+    ArrowEvalPython stage runs over the narrow feature projection, never
+    over text (plan-audited)."""
+    base = q_corpus_prep_pipeline(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x_chars"),
+        (F.size(F.split("text", "[.,;:!?]")) - 1).cast("double").alias("x_punct"),
+        F.when(F.col("source") == "src0", F.size(words("text"))).alias("measured"),
+    )
+    est = I.impute_with_model(
+        feats, F.col("measured"), ["x_chars", "x_punct"], out="token_est"
+    ).select("doc_id", "token_est")
+    return (
+        base.join(est, "doc_id")
+        .filter(F.col("token_est") >= 40)
+        .select("doc_id", "clean_text", "n_bpe_tokens", "token_est")
+    )
+
+
+def _sql_corpus_prep_scored() -> str:
+    tree = I.tree_sql(I.DEFAULT_TREE, ["x_chars", "x_punct"])
+    return f"""
+WITH prep AS ({_sql_corpus_prep_pipeline()}),
+f AS (SELECT doc_id,
+    CAST(n_chars AS DOUBLE) AS x_chars,
+    CAST(length(regexp_split_to_array(text, '[.,;:!?]')) - 1 AS DOUBLE) AS x_punct,
+    CASE WHEN source = 'src0'
+         THEN CAST(length({words_sql('text')}) AS DOUBLE) END AS measured
+  FROM documents),
+est AS (SELECT doc_id,
+    CASE WHEN measured IS NOT NULL THEN measured ELSE round({tree}, 2) END AS token_est
+  FROM f)
+SELECT prep.doc_id AS doc_id, prep.clean_text, prep.n_bpe_tokens, est.token_est
+FROM prep JOIN est USING (doc_id)
+WHERE est.token_est >= 40
+"""
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,12 +1505,17 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
 """
 
 
-def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F18 JSON parse with pinned path (the reference's per-line
-    JSON.parse, grid-and-attrs/app.js:151): extract props.k, aggregate
-    per event_type."""
+def q_json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17-F19 composed in one driver-checked row: F19 tolerant parse
+    (the reference swallows trailing commas in hand-built JSON,
+    grid-and-attrs/app.js:151 — a trailing comma is injected into every
+    props object and repaired by the engine's pre-parse normalization),
+    then F18 pinned-path extraction ($.k), then an A5 aggregate per
+    event_type."""
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    broken = F.regexp_replace("props", r"\}$", ",}")
+    repaired = F.regexp_replace(broken, r",\s*\}", "}")
+    k = F.get_json_object(repaired, "$.k").cast("int")
     return (
         e.withColumn("k", k)
         .groupBy("event_type")
@@ -1378,12 +1528,17 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_JSON_PROPS = """
+_SQL_JSON_PIPELINE = r"""
+WITH r AS (
+  SELECT event_type,
+         CAST(json_extract(regexp_replace(regexp_replace(props, '\}$', ',}'),
+              ',\s*\}', '}'), '$.k') AS INT) AS k
+  FROM events)
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
-       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
-FROM events GROUP BY event_type
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS INT) AS min_k,
+       CAST(max(k) AS INT) AS max_k
+FROM r GROUP BY event_type
 """
 
 
@@ -1415,24 +1570,35 @@ FROM events GROUP BY 1, 2
 """
 
 
-def q_json_tolerant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F19 tolerant parse (the reference swallows trailing commas in
-    hand-built JSON, grid-and-attrs/app.js:151): inject a trailing comma
-    into every props object, repair it with the engine's pre-parse
-    normalization, extract the pinned path."""
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 batch twin of streaming/windows.py sliding_counts — the
+    SLIDING member of the tumbling/sliding/session triple: 10-minute
+    windows sliding every 5, so each event lands in exactly 2 windows.
+    The oracle replicates the assignment by unrolling the overlap factor
+    (window starts = 5-min bucket - j·5min for j in 0..1)."""
     e = _t(spark, sf_dir, "events")
-    broken = F.regexp_replace("props", r"\}$", ",}")
-    repaired = F.regexp_replace(broken, r",\s*\}", "}")
-    return e.select(
-        "event_id",
-        F.get_json_object(repaired, "$.k").cast("int").alias("k"),
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )
 
 
-_SQL_JSON_TOLERANT_PARSE = r"""
-SELECT event_id,
-       CAST(json_extract(regexp_replace(regexp_replace(props, '\}$', ',}'), ',\s*\}', '}'), '$.k') AS INT) AS k
-FROM events
+_SQL_SLIDING_WINDOWS = """
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) - j * 300 AS BIGINT) AS win_start_epoch,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events, range(0, 2) t(j)
+GROUP BY 1, 2
 """
 
 
@@ -1482,42 +1648,32 @@ def _tok_docs(spark: SparkSession) -> DataFrame:
     return gen_token_docs_portable(spark, _N_TOKDOCS)
 
 
-def q_tok_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F24 parity (duplicate-vertex repair, grid-and-attrs/repair.js:11-30):
-    collapse consecutive duplicate tokens, pure HOFs."""
+def q_tok_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24 + F10/F11 composed in one driver-checked row: duplicate-run
+    collapse (the reference's duplicate-vertex repair,
+    grid-and-attrs/repair.js:11-30) then fixed-length truncate-to-16 /
+    right-pad-with-0 normalization — the per-doc token cleanup chain a
+    training pipeline runs before packing. Pure array HOFs, no UDF."""
     d = TK.repair_tokens(_tok_docs(spark))
+    d = TK.truncate_pad(d, max_len=16, tok_col="tokens_repaired")
     return d.select(
         "doc_id",
-        F.concat_ws(",", "tokens_repaired").alias("tokens_csv"),
-        F.size("tokens_repaired").cast("int").alias("n_tok"),
+        F.concat_ws(",", "tokens_fixed").alias("tokens_csv"),
+        F.size("tokens_repaired").cast("int").alias("n_tok_repaired"),
     )
 
 
-def _sql_tok_repair() -> str:
+def _sql_tok_pipeline() -> str:
     return f"""
-WITH td AS ({token_docs_sql(_N_TOKDOCS)})
+WITH td AS ({token_docs_sql(_N_TOKDOCS)}),
+r AS (SELECT doc_id,
+        [tokens[i] for i in range(1, n_tok + 1) if i = 1 OR tokens[i] != tokens[i-1]] AS rt
+      FROM td)
 SELECT doc_id,
-  array_to_string([tokens[i] for i in range(1, n_tok + 1) if i = 1 OR tokens[i] != tokens[i-1]], ',') AS tokens_csv,
-  CAST(length([tokens[i] for i in range(1, n_tok + 1) if i = 1 OR tokens[i] != tokens[i-1]]) AS INT) AS n_tok
-FROM td
-"""
-
-
-def q_tok_truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-length normalization: truncate to 16 / right-pad with 0."""
-    d = TK.truncate_pad(_tok_docs(spark), max_len=16)
-    return d.select(
-        "doc_id", F.concat_ws(",", "tokens_fixed").alias("tokens_csv")
-    )
-
-
-def _sql_tok_truncate_pad() -> str:
-    return f"""
-WITH td AS ({token_docs_sql(_N_TOKDOCS)})
-SELECT doc_id,
-  array_to_string(list_concat(tokens[1:16],
-              [CAST(0 AS INT) for j in range(0, 16 - least(n_tok, 16))]), ',') AS tokens_csv
-FROM td
+  array_to_string(list_concat(rt[1:16],
+      [CAST(0 AS INT) for j in range(0, 16 - least(length(rt), 16))]), ',') AS tokens_csv,
+  CAST(length(rt) AS INT) AS n_tok_repaired
+FROM r
 """
 
 
@@ -1564,8 +1720,16 @@ WHERE i*64 < length(ft)
 # contract surface
 
 
+# NOTE: the driver's correctness file holds at most 50 entries (r3
+# registered 53 and exactly the last 3 were dropped), so the registry is
+# kept at ≤50 by composing related operators into one driver-checked row
+# (set_ops, json_pipeline, tok_pipeline) — tools/check_oracles.py asserts
+# the cap so coverage can never decay silently again.
+DRIVER_QUERY_CAP = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q = {
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_point_lookup": q_cdc_point_lookup,
@@ -1574,12 +1738,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "sql_surface": q_sql_surface,
+        "dedup_incremental": q_dedup_incremental,
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
         "revenue_by_nation": q_revenue_by_nation,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "union_distinct": q_union_distinct,
+        "set_ops": q_set_ops,
         "window_lww": q_window_lww,
         "topk_orders": q_topk_orders,
         "scalar_funcs": q_scalar_funcs,
@@ -1591,8 +1754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_dedup_embed_cosine,
         "embed_cosine_topk": q_embed_cosine_topk,
-        "embed_ivf_assign": q_embed_ivf_assign,
-        "embed_lsh_buckets": q_embed_lsh_buckets,
         "ivf_topk": q_ivf_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
@@ -1606,20 +1767,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "dedup_contamination": q_dedup_contamination,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
+        "corpus_prep_scored": q_corpus_prep_scored,
         "multimodal_meta": q_multimodal_meta,
         "model_impute": q_model_impute,
         "source_precedence_fold": q_source_precedence_fold,
         "doc_chunks": q_doc_chunks,
         "embed_stats": q_embed_stats,
-        "json_props": q_json_props,
-        "json_tolerant_parse": q_json_tolerant_parse,
+        "json_pipeline": q_json_pipeline,
         "event_time_windows": q_event_time_windows,
+        "sliding_windows": q_sliding_windows,
         "self_band_join": q_self_band_join,
-        "tok_repair": q_tok_repair,
-        "tok_truncate_pad": q_tok_truncate_pad,
+        "tok_pipeline": q_tok_pipeline,
         "tok_histogram": q_tok_histogram,
         "tok_pack": q_tok_pack,
     }
+    assert len(q) <= DRIVER_QUERY_CAP, (
+        f"{len(q)} queries registered but the driver checks only "
+        f"{DRIVER_QUERY_CAP} — compose queries instead of letting "
+        "coverage decay silently"
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1632,12 +1799,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _sql_cdc_time_travel(),
         "cdc_lww_dedup": _SQL_CDC_LWW_DEDUP,
         "sql_surface": _sql_sql_surface(),
+        "dedup_incremental": _sql_dedup_incremental(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "filter_project": _SQL_FILTER_PROJECT,
         "revenue_by_nation": _SQL_REVENUE_BY_NATION,
-        "semi_join": _SQL_SEMI_JOIN,
-        "anti_join": _SQL_ANTI_JOIN,
-        "union_distinct": _SQL_UNION_DISTINCT,
+        "set_ops": _SQL_SET_OPS,
         "window_lww": _SQL_WINDOW_LWW,
         "topk_orders": _SQL_TOPK_ORDERS,
         "scalar_funcs": _SQL_SCALAR_FUNCS,
@@ -1649,8 +1815,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,
         "dedup_embed_cosine": _SQL_DEDUP_EMBED_COSINE,
         "embed_cosine_topk": _SQL_EMBED_COSINE_TOPK,
-        "embed_ivf_assign": _SQL_EMBED_IVF_ASSIGN,
-        "embed_lsh_buckets": _sql_embed_lsh_buckets(),
         "ivf_topk": _sql_ivf_topk(),
         "lsh_bucket_topk": _sql_lsh_bucket_topk(),
         "dedup_embed_cosine_lsh": _sql_dedup_embed_cosine_lsh(),
@@ -1664,17 +1828,17 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _sql_text_pii_scrub(),
         "dedup_contamination": _sql_dedup_contamination(),
         "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),
+        "corpus_prep_scored": _sql_corpus_prep_scored(),
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "model_impute": _sql_model_impute(),
         "source_precedence_fold": _SQL_SOURCE_PRECEDENCE_FOLD,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "embed_stats": _SQL_EMBED_STATS,
-        "json_props": _SQL_JSON_PROPS,
-        "json_tolerant_parse": _SQL_JSON_TOLERANT_PARSE,
+        "json_pipeline": _SQL_JSON_PIPELINE,
         "event_time_windows": _SQL_EVENT_TIME_WINDOWS,
+        "sliding_windows": _SQL_SLIDING_WINDOWS,
         "self_band_join": _SQL_SELF_BAND_JOIN,
-        "tok_repair": _sql_tok_repair(),
-        "tok_truncate_pad": _sql_tok_truncate_pad(),
+        "tok_pipeline": _sql_tok_pipeline(),
         "tok_histogram": _sql_tok_histogram(),
         "tok_pack": _sql_tok_pack(),
     }

@@ -65,11 +65,20 @@ def _pil():
 
 
 def _decode_stub(buf: bytes) -> tuple[int, int, int]:
-    """(width, height, n_frames). Parses the deterministic fake header
-    directly; real image formats decode through PIL when installed."""
+    """(width, height, n_frames). Codec tiers, most to least capable at
+    each format: (1) the deterministic fake header parses directly;
+    (2) REAL PNG bytes parse via the pure-stdlib codec (png_codec —
+    struct IHDR parse, any color type), so real-media metadata works in
+    a PIL-less sandbox; (3) every other real format goes through PIL
+    when installed; else the disclosed NotImplementedError boundary."""
     if buf[:4] == _MAGIC:
         w = int.from_bytes(buf[5:9], "big")
         h = int.from_bytes(buf[9:13], "big")
+        return w, h, 1
+    from . import png_codec
+
+    if png_codec.is_png(bytes(buf)):
+        w, h, _, _ = png_codec.parse_ihdr(bytes(buf))
         return w, h, 1
     image_mod = _pil()
     if image_mod is not None:
@@ -112,10 +121,11 @@ def resize_media(
     id_col: str = "id",
     media_col: str = "media",
 ) -> DataFrame:
-    """Resize stage: binary → binary with new dimensions. With the fake
-    codec this rewrites the header (a real PIL resize slots into the
-    same per-batch loop); the Arrow round-trip of binary payloads in and
-    out of Python is the real, tested part."""
+    """Resize stage: binary → binary with new dimensions. Real images
+    resize for real: PIL when installed, else the stdlib PNG codec
+    (nearest-neighbor over decoded rows) for 8-bit grayscale PNGs; the
+    fake codec rewrites its header. The Arrow round-trip of binary
+    payloads in and out of Python is identical across tiers."""
 
     out_schema = f"{id_col} long, media binary, width int, height int"
 
@@ -134,6 +144,10 @@ def resize_media(
                             out = io.BytesIO()
                             im.resize((width, height)).save(out, format="PNG")
                             return out.getvalue()
+                    from . import png_codec
+
+                    if png_codec.is_png(buf):  # PIL-less real PNG path
+                        return png_codec.resize_gray(buf, width, height)
                 _decode_stub(buf)  # validates the format
                 return buf[:5] + wb + hb + buf[13:]
 

@@ -1,2 +1,2 @@
-from .windows import session_windows, windowed_counts  # noqa: F401
+from .windows import session_windows, sliding_counts, windowed_counts  # noqa: F401
 from .stateful import stateful_lww_changes  # noqa: F401

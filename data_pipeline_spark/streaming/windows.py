@@ -51,6 +51,42 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """SLIDING-window per-key counts (and value sums) with a watermark —
+    the overlapping-window member of the tumbling/sliding/session triple:
+    each event lands in window/slide windows (2 for the defaults), so
+    downstream consumers get a smoothed rolling aggregate instead of
+    tumbling's hard bucket edges. Same append-mode exactly-once contract
+    as windowed_counts: a (window, key) row emits once when the
+    watermark passes the window end; later rows for evicted windows are
+    dropped. State is bounded at (window/slide) × live keys."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), F.col(key_col))
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            *[
+                F.col(c)
+                for c in (["n_events", "sum_value"] if value_col else ["n_events"])
+            ],
+        )
+    )
+
+
 def session_windows(
     stream: DataFrame,
     ts_col: str = "ts",

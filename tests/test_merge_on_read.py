@@ -259,14 +259,21 @@ def test_rollback_restores_state_and_blocks_replay_confusion(spark, tdir):
 
 def test_crashed_delta_commit_is_invisible_and_reclaimed(spark, tdir):
     """Torn MoR commit: delta files written but the manifest publish never
-    happened. The table must be unchanged, the batch replayable, and the
-    orphan directory reclaimed by expire_snapshots."""
+    happened. Two failure classes:
+    * the PROCESS SURVIVES the failure (manifest write raised) — the
+      fused apply's failure path deletes the staged dir EAGERLY, so no
+      orphan lingers at all;
+    * the process DIES mid-apply (no except-handler ran) — the orphan
+      dir stays, referenced by no manifest, and expire_snapshots
+      reclaims it.
+    Either way the table is unchanged and the batch replays exactly once."""
     log = gen_event_log(spark, n_events=600, n_docs=80, batch_size=200, partitions=4)
     root = os.path.join(tdir, "t")
     t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
     t = apply_batch(t, log.filter(F.col("batch_id") == 0), 0, merge_strategy="delta")
+    dirs_before = set(os.listdir(os.path.join(root, "data")))
 
-    # crash injection: the manifest write raises AFTER data files land
+    # failure injection: the manifest write raises AFTER data files land
     orig = IceboxTable._write_manifest
     IceboxTable._write_manifest = lambda self, m: (_ for _ in ()).throw(
         OSError("simulated crash before manifest publish")
@@ -288,11 +295,19 @@ def test_crashed_delta_commit_is_invisible_and_reclaimed(spark, tdir):
     assert_tables_equal(
         t2.read().orderBy("doc_id").toPandas(), t.read().orderBy("doc_id").toPandas()
     )
-    # the orphan delta dir exists on disk but is referenced by no manifest
-    data_dirs = set(os.listdir(os.path.join(root, "data")))
+    # surviving-process path: the staged dir was reclaimed EAGERLY
+    assert set(os.listdir(os.path.join(root, "data"))) == dirs_before
+
+    # hard-crash path: a process that died before the except-handler
+    # leaves the staged dir — plant one exactly as stage_delta names them
+    orphan = os.path.join(root, "data", "snap-99999999-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
     t3 = apply_batch(t2, log.filter(F.col("batch_id") == 1), 1, merge_strategy="delta")
     res = t3.expire_snapshots(keep_last=100)  # keep all snapshots: only orphans go
     assert res["removed_dirs"] >= 1
+    assert not os.path.exists(orphan)
     # replayed batch applied exactly once
     assert t3.read_lineage().toPandas()["events_applied"].sum() == 400
 

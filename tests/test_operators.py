@@ -212,8 +212,13 @@ def test_multimodal_frame_sample_shape(spark):
 
 
 def test_decode_stub_rejects_real_formats():
-    with pytest.raises(NotImplementedError):
+    # PNG-signature bytes now route to the stdlib codec tier, which
+    # rejects a corrupt body loudly rather than guessing
+    with pytest.raises(ValueError, match="corrupt PNG"):
         M._decode_stub(b"\x89PNG\r\n\x1a\n....")
+    # non-PNG real formats still hit the disclosed codec boundary
+    with pytest.raises(NotImplementedError):
+        M._decode_stub(b"\xff\xd8\xff\xe0....JFIF....")
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):

@@ -87,6 +87,53 @@ def test_windowed_counts_drop_late_rows(spark, tdir):
     assert (10, "view") not in got
 
 
+def test_sliding_windows_overlap_and_late_drop(spark, tdir):
+    """Sliding semantics (the third member of the triple): every event
+    lands in window/slide = 2 overlapping windows; finalized windows emit
+    exactly once in append mode; rows landing in evicted windows drop."""
+    import datetime as dt
+    import time
+
+    from data_pipeline_spark.streaming import sliding_counts
+
+    def t(minute, second=0):
+        return dt.datetime(2024, 1, 1, 0, minute, second)
+
+    src = os.path.join(tdir, "slide")
+    # clicks at 00:06/00:07 belong to windows [00:00,00:10) AND
+    # [00:05,00:15); the 00:31 view raises the max event time
+    _write_batch(
+        spark, src,
+        [(t(6), "click", 1.0), (t(7), "click", 2.0), (t(31), "view", 9.0)],
+        "b1",
+    )
+    time.sleep(1.1)
+    # innocuous batch: watermark (00:29, from batch 1's max ts) now
+    # applies — both click windows finalize and evict at this batch's end
+    _write_batch(spark, src, [(t(32), "view", 1.0)], "b2")
+    time.sleep(1.1)
+    # late click into the EVICTED [00:05, 00:15) window → dropped
+    _write_batch(spark, src, [(t(8), "click", 100.0)], "b3")
+
+    schema = spark.read.parquet(src).schema
+    out = _run_to_memory(
+        spark, src,
+        lambda s: sliding_counts(
+            s, window="10 minutes", slide="5 minutes", watermark="2 minutes"
+        ),
+        "slide_sink", schema=schema,
+    ).collect()
+    got = {
+        (r["win_start"].minute, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out
+        if r["event_type"] == "click"
+    }
+    # each click counted in BOTH overlapping windows, late 100.0 in neither
+    assert got == {(0, "click"): (2, 3.0), (5, "click"): (2, 3.0)}
+    # exactly-once: no duplicate emission of a finalized window
+    assert len([r for r in out if r["event_type"] == "click"]) == 2
+
+
 def test_stateful_lww_change_feed(spark, tdir):
     """applyInPandasWithState: emits a key only when its winner changes;
     stale and redelivered events are absorbed by state."""

@@ -74,6 +74,15 @@ def main() -> int:
         )
 
     qs, os_ = entry.queries(), entry.oracle_sql()
+    # coverage-decay guard (VERDICT r3 item 2): the driver's correctness
+    # file records at most DRIVER_QUERY_CAP entries — registering more
+    # silently drops the tail. queries() asserts the cap itself; here we
+    # also require every registered query to carry an oracle twin.
+    assert len(qs) <= entry.DRIVER_QUERY_CAP, (
+        f"{len(qs)} queries > driver cap {entry.DRIVER_QUERY_CAP}"
+    )
+    no_oracle = sorted(set(qs) - set(os_))
+    assert not no_oracle, f"queries without an oracle twin: {no_oracle}"
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
