@@ -9,12 +9,21 @@ FootprintExtruder.java:19-49).
 
 The Spark-side plumbing here is REAL and tested: schema, Arrow batch
 shape, mapInPandas signatures, partition sizing. The codec is
-feature-detected: payloads with our deterministic fake header are parsed
-directly; real formats go through PIL WHEN IT IS INSTALLED (decode +
-resize, tested by tests/test_multimodal_real.py, which skips — never
-fakes — where PIL is absent, as in this sandbox) and raise
-NotImplementedError otherwise. Audio/video codecs (librosa/ffmpeg) slot
-into the same per-batch loop.
+feature-detected per payload, most to least capable at each format:
+the deterministic fake header parses directly; REAL PNG images, REAL
+WAV/PCM audio, and REAL Y4M video parse via the pure-stdlib codecs
+(png_codec / wav_codec / y4m_codec — all three run in this sandbox,
+tested by tests/test_multimodal_real.py and test_multimodal_av.py);
+PIL takes over for non-grayscale image formats when installed; and
+compressed audio/video (mp3/mp4 — needs librosa/ffmpeg) stays behind
+the disclosed NotImplementedError boundary.
+
+Metadata contract across modalities (one fixed, prunable schema):
+image/video → (width, height, n_frames); audio → width=sample_rate,
+height=n_channels, n_frames=sample frames (WAV terminology: one frame
+= one sample per channel). frame_sample's every-Nth selection is frame
+subsampling for video and decimation for audio; resize_media resizes
+image AND video pixels for real, and resample_audio is the audio twin.
 
 Scale notes: binary payloads dominate row size → keep
 spark.sql.execution.arrow.maxRecordsPerBatch low (session.py pins 4096)
@@ -67,19 +76,28 @@ def _pil():
 def _decode_stub(buf: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames). Codec tiers, most to least capable at
     each format: (1) the deterministic fake header parses directly;
-    (2) REAL PNG bytes parse via the pure-stdlib codec (png_codec —
-    struct IHDR parse, any color type), so real-media metadata works in
-    a PIL-less sandbox; (3) every other real format goes through PIL
-    when installed; else the disclosed NotImplementedError boundary."""
+    (2) REAL PNG / WAV / Y4M bytes parse via the pure-stdlib codecs
+    (struct/zlib/ASCII — real-media metadata works in a PIL-less
+    sandbox; audio maps to width=sample_rate, height=n_channels,
+    n_frames=sample frames); (3) every other real image format goes
+    through PIL when installed; else the disclosed NotImplementedError
+    boundary (compressed audio/video needs librosa/ffmpeg)."""
+    buf = bytes(buf)
     if buf[:4] == _MAGIC:
         w = int.from_bytes(buf[5:9], "big")
         h = int.from_bytes(buf[9:13], "big")
         return w, h, 1
-    from . import png_codec
+    from . import png_codec, wav_codec, y4m_codec
 
-    if png_codec.is_png(bytes(buf)):
-        w, h, _, _ = png_codec.parse_ihdr(bytes(buf))
+    if png_codec.is_png(buf):
+        w, h, _, _ = png_codec.parse_ihdr(buf)
         return w, h, 1
+    if wav_codec.is_wav(buf):
+        ch, rate, _bits, n = wav_codec.parse_header(buf)
+        return rate, ch, n
+    if y4m_codec.is_y4m(buf):
+        w, h, _fn, _fd, _cs, _pos = y4m_codec.parse_header(buf)
+        return w, h, y4m_codec.n_frames(buf)
     image_mod = _pil()
     if image_mod is not None:
         import io
@@ -122,10 +140,12 @@ def resize_media(
     media_col: str = "media",
 ) -> DataFrame:
     """Resize stage: binary → binary with new dimensions. Real images
-    resize for real: PIL when installed, else the stdlib PNG codec
-    (nearest-neighbor over decoded rows) for 8-bit grayscale PNGs; the
-    fake codec rewrites its header. The Arrow round-trip of binary
-    payloads in and out of Python is identical across tiers."""
+    AND real video resize for real: Y4M via the stdlib plane codec
+    (every frame, nearest-neighbor), PNG via PIL when installed else
+    the stdlib grayscale codec; the fake codec rewrites its header.
+    Audio rejects loudly (resolution is meaningless — use
+    resample_audio). The Arrow round-trip of binary payloads in and out
+    of Python is identical across tiers."""
 
     out_schema = f"{id_col} long, media binary, width int, height int"
 
@@ -136,6 +156,14 @@ def resize_media(
             def _rs(buf: bytes) -> bytes:
                 buf = bytes(buf)
                 if buf[:4] != _MAGIC:
+                    from . import png_codec, wav_codec, y4m_codec
+
+                    if y4m_codec.is_y4m(buf):  # real video → real resize
+                        return y4m_codec.resize(buf, width, height)
+                    if wav_codec.is_wav(buf):
+                        raise ValueError(
+                            "resize_media on audio — use resample_audio"
+                        )
                     image_mod = _pil()
                     if image_mod is not None:  # real image → real resize
                         import io
@@ -144,8 +172,6 @@ def resize_media(
                             out = io.BytesIO()
                             im.resize((width, height)).save(out, format="PNG")
                             return out.getvalue()
-                    from . import png_codec
-
                     if png_codec.is_png(buf):  # PIL-less real PNG path
                         return png_codec.resize_gray(buf, width, height)
                 _decode_stub(buf)  # validates the format
@@ -198,13 +224,27 @@ def extract_features(
     return df.select(id_col, media_col).mapInPandas(_batches, out_schema)
 
 
+def _frame_payload(buf: bytes, i: int) -> bytes:
+    """Per-frame bytes for frame_sample: Y4M → that frame's raw YUV
+    planes; WAV → that sample frame's PCM block (decimation); single-
+    frame formats (fake header, PNG) → the whole payload."""
+    from . import wav_codec, y4m_codec
+
+    if y4m_codec.is_y4m(buf):
+        return y4m_codec.get_frame(buf, i)
+    if wav_codec.is_wav(buf):
+        return wav_codec.frame_bytes(buf, i)
+    return buf
+
+
 def frame_sample(
     df: DataFrame, every_n: int, id_col: str = "id", media_col: str = "media"
 ) -> DataFrame:
     """1→N frame expansion (UDTF shape, like the reference's footprint→
-    surfaces extrusion, FootprintExtruder.java:19-49). With the fake
-    codec every media has 1 frame; the row-multiplication plumbing is
-    the real part."""
+    surfaces extrusion, FootprintExtruder.java:19-49). Real Y4M video
+    expands to its actual frame planes and real WAV audio to decimated
+    PCM blocks (every_n-th frame each); single-frame formats emit one
+    row carrying the payload."""
 
     out_schema = f"{id_col} long, frame_no int, frame binary"
 
@@ -212,13 +252,44 @@ def frame_sample(
         for pdf in it:
             rows = {"ids": [], "fno": [], "frame": []}
             for i, buf in zip(pdf[id_col], pdf[media_col]):
-                n = _decode_stub(bytes(buf))[2]
+                buf = bytes(buf)
+                n = _decode_stub(buf)[2]
                 for f in range(0, n, every_n):
                     rows["ids"].append(i)
                     rows["fno"].append(f)
-                    rows["frame"].append(bytes(buf))
+                    rows["frame"].append(_frame_payload(buf, f))
             yield pd.DataFrame(
                 {id_col: rows["ids"], "frame_no": rows["fno"], "frame": rows["frame"]}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(_batches, out_schema)
+
+
+def resample_audio(
+    df: DataFrame, new_rate: int, id_col: str = "id", media_col: str = "media"
+) -> DataFrame:
+    """Audio resample stage: PCM16 WAV → PCM16 WAV at new_rate
+    (nearest-neighbor, wav_codec.resample_nearest) — the audio twin of
+    resize_media, same Arrow-batched mapInPandas plumbing."""
+
+    out_schema = f"{id_col} long, media binary, sample_rate int, n_frames int"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import wav_codec
+
+        for pdf in it:
+            out = pdf[media_col].map(
+                lambda b: wav_codec.resample_nearest(bytes(b), new_rate)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": out,
+                    "sample_rate": new_rate,
+                    "n_frames": out.map(
+                        lambda b: wav_codec.parse_header(b)[3]
+                    ).astype("int32"),
+                }
             )
 
     return df.select(id_col, media_col).mapInPandas(_batches, out_schema)
