@@ -37,6 +37,8 @@ def run_stream(
     merge_strategy: str = "auto",
     compact_ratio: float | None = None,
     split_rows: int | None = None,
+    dedup_index=None,
+    dedup_text_col: str = "tokens",
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
@@ -52,6 +54,20 @@ def run_stream(
     split_rows doubles the bucket count when mean rows/bucket exceed it
     (split_if_needed) — the long-running-stream growth policy; like
     compaction it runs post-commit and is crash-safe.
+
+    dedup_index: an operators.incremental_dedup.IncrementalDeduper —
+    per epoch, the batch's non-delete LWW winners are probed against the
+    standing near-dup band index and appended to it (O(batch·cap) per
+    epoch, never O(corpus)). The index tags each epoch in its own STATE,
+    so a replayed epoch after a crash/restart is a no-op on BOTH the
+    table and the index; it runs after the table commit, so a crash
+    between the two replays the epoch into the index only (idempotent).
+    dedup_text_col names the payload column whose array/text forms the
+    near-dup shingle text (default: the token array). Rep assignment is
+    first-seen-wins in epoch arrival order — the reference's master-wins
+    source fold (resolve-footprints.scala:121-188) with arrival order as
+    precedence — and is stable under checkpoint replay because the same
+    checkpoint re-delivers identical epochs.
     """
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -64,6 +80,19 @@ def run_stream(
             tag_prefix=f"stream:{query_name}",
             merge_strategy=merge_strategy,
         )
+        if dedup_index is not None:
+            import pyspark.sql.functions as F
+
+            from .apply import lww_dedup
+
+            winners = lww_dedup(batch_df, key=table.key, strategy="agg").filter(
+                F.lower(F.col("op")) != "delete"
+            )
+            docs = winners.select(
+                F.col(table.key).alias(dedup_index.id_col),
+                F.concat_ws(" ", dedup_text_col).alias(dedup_index.text_col),
+            )
+            dedup_index.apply_batch(docs, f"stream:{query_name}:{epoch_id}")
         if split_rows is not None:
             table = table.split_if_needed(max_rows_per_bucket=split_rows)
         if compact_ratio is not None:

@@ -271,6 +271,12 @@ class IncrementalDeduper:
                     F.col("rep_id"),
                     "sig",
                 )
+                # cluster by pb BEFORE the dynamic-partition write (same
+                # layout compact() uses): ≤ n_parts write tasks each
+                # emitting whole pb= dirs — one file per partition per
+                # segment instead of (#tasks × #pbs) splinters, and no
+                # per-task dynamic-partition sort of all 16 dirs
+                .repartition(self.n_parts, "pb")
                 .sortWithinPartitions("pb", "bkey")
                 .write.partitionBy("pb")
                 .mode("overwrite")

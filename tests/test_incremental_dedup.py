@@ -159,3 +159,57 @@ def test_cdc_spine_integration(spark, tdir):
     assert seen > 0
     # every batch is recorded exactly once
     assert sorted(ded._state["batches"]) == ["0", "1", "2"]
+
+
+def test_run_stream_maintains_dedup_index_exactly_once(spark, tdir):
+    """Full streaming integration: run_stream(dedup_index=...) maintains
+    the band index per epoch alongside the icebox apply. Restarting the
+    stream from the same checkpoint replays epochs as no-ops on BOTH the
+    table (tags) and the index (STATE) — segments, batch records, and
+    assignments are all unchanged after the rerun."""
+    from data_pipeline_spark.cdc.stream import run_stream
+    from data_pipeline_spark.gen import gen_event_log
+    from data_pipeline_spark.icebox import IceboxTable
+
+    from .test_cdc_apply import BASE_SCHEMA
+    from .test_checkpoint_resume import EV_SCHEMA
+
+    events_dir = os.path.join(tdir, "events")
+    gen_event_log(
+        spark, n_events=2000, n_docs=200, batch_size=500, partitions=4
+    ).write.partitionBy("batch_id").parquet(events_dir)
+
+    root = os.path.join(tdir, "table")
+    ckpt = os.path.join(tdir, "ckpt")
+    IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+    ded = _deduper(spark, os.path.join(tdir, "idx"))
+    run_stream(
+        spark, events_dir, EV_SCHEMA, root, ckpt,
+        query_name="ded", max_files_per_trigger=2, dedup_index=ded,
+    )
+    epochs = sorted(ded._state["batches"])
+    assert len(epochs) >= 2  # small triggers forced multiple epochs
+    assert all(t.startswith("stream:ded:") for t in epochs)
+    segments = list(ded._state["segments"])
+    assign0 = {
+        t: sorted(
+            (r["doc_id"], r["rep_id"]) for r in ded._read_assign(t).collect()
+        )
+        for t in epochs
+    }
+    assert all(assign0[t] for t in epochs)  # every epoch assigned docs
+
+    # restart from the same checkpoint: nothing new to process → the
+    # index is byte-identical (exactly-once across the restart)
+    ded2 = _deduper(spark, os.path.join(tdir, "idx"))
+    run_stream(
+        spark, events_dir, EV_SCHEMA, root, ckpt,
+        query_name="ded", max_files_per_trigger=2, dedup_index=ded2,
+    )
+    assert sorted(ded2._state["batches"]) == epochs
+    assert ded2._state["segments"] == segments
+    for t in epochs:
+        got = sorted(
+            (r["doc_id"], r["rep_id"]) for r in ded2._read_assign(t).collect()
+        )
+        assert got == assign0[t]
