@@ -39,6 +39,7 @@ def run_stream(
     split_rows: int | None = None,
     dedup_index=None,
     dedup_text_col: str = "tokens",
+    dedup_compact_segments: int | None = None,
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
@@ -68,6 +69,11 @@ def run_stream(
     source fold (resolve-footprints.scala:121-188) with arrival order as
     precedence — and is stable under checkpoint replay because the same
     checkpoint re-delivers identical epochs.
+
+    dedup_compact_segments: fold the index's LSM segments whenever at
+    least this many have accumulated (IncrementalDeduper.
+    compact_if_needed) — the index twin of compact_ratio; runs after
+    the epoch's index commit, moves no logical data, crash-safe.
     """
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -93,6 +99,8 @@ def run_stream(
                 F.concat_ws(" ", dedup_text_col).alias(dedup_index.text_col),
             )
             dedup_index.apply_batch(docs, f"stream:{query_name}:{epoch_id}")
+            if dedup_compact_segments is not None:
+                dedup_index.compact_if_needed(dedup_compact_segments)
         if split_rows is not None:
             table = table.split_if_needed(max_rows_per_bucket=split_rows)
         if compact_ratio is not None:

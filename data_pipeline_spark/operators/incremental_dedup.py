@@ -298,6 +298,14 @@ class IncrementalDeduper:
         )
         return self.spark.read.schema(schema).parquet(os.path.join(self.root, rel))
 
+    def compact_if_needed(self, max_segments: int) -> int:
+        """Fold segments when the LSM has at least `max_segments` of
+        them — the probe-I/O growth policy (icebox.compact_if_needed's
+        twin on the dedup index). Returns segments folded (0 = no-op)."""
+        if len(self._state["segments"]) >= max_segments:
+            return self.compact()
+        return 0
+
     def compact(self) -> int:
         """Fold every committed segment into ONE file set per pb
         partition (rows sorted by bkey for row-group pruning) so probe

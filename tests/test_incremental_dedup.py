@@ -213,3 +213,34 @@ def test_run_stream_maintains_dedup_index_exactly_once(spark, tdir):
             (r["doc_id"], r["rep_id"]) for r in ded2._read_assign(t).collect()
         )
         assert got == assign0[t]
+
+
+def test_run_stream_dedup_index_compaction_knob(spark, tdir):
+    """dedup_compact_segments folds the index LSM inside the stream:
+    segment count stays bounded by the knob no matter how many epochs
+    ran, and every epoch's stored assignment remains readable."""
+    from data_pipeline_spark.cdc.stream import run_stream
+    from data_pipeline_spark.gen import gen_event_log
+    from data_pipeline_spark.icebox import IceboxTable
+
+    from .test_cdc_apply import BASE_SCHEMA
+    from .test_checkpoint_resume import EV_SCHEMA
+
+    events_dir = os.path.join(tdir, "events")
+    gen_event_log(
+        spark, n_events=1200, n_docs=120, batch_size=300, partitions=4
+    ).write.partitionBy("batch_id").parquet(events_dir)
+
+    root = os.path.join(tdir, "table")
+    IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+    ded = _deduper(spark, os.path.join(tdir, "idx"))
+    run_stream(
+        spark, events_dir, EV_SCHEMA, root, os.path.join(tdir, "ckpt"),
+        query_name="dc", max_files_per_trigger=1,
+        dedup_index=ded, dedup_compact_segments=2,
+    )
+    epochs = sorted(ded._state["batches"])
+    assert len(epochs) >= 3  # one file per trigger forced many epochs
+    assert len(ded._state["segments"]) <= 2  # LSM stayed folded
+    for t in epochs:  # assignments survive compaction
+        assert ded._read_assign(t).count() > 0
