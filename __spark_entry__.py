@@ -282,6 +282,57 @@ FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed (Iceberg incremental read / Delta CDF
+    analog): IceboxTable.changes() between the snapshot after batch 1
+    and the final snapshot — the NET insert/delete/update_pre/
+    update_post rows a downstream consumer applies to roll its derived
+    copy forward. The oracle replays the log to BOTH prefixes and diffs
+    them with a null-safe full-outer join: equality proves the feed is
+    exactly the state delta, with intermediate versions collapsed by
+    the same LWW rule as the table itself."""
+    table = _replayed_table(spark, 3000, 300, batch_size=1000, hot_pct=20)
+    # snapshot ids: 0=create, 1..3 = batches 0..2
+    chg = table.changes(2)
+    return chg.select(
+        "doc_id",
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        "n_tok",
+        "source",
+        "_change_type",
+    )
+
+
+def _sql_cdc_changes() -> str:
+    state = """SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+       n_tok, source
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn
+      FROM ev {pred})
+WHERE rn = 1 AND op <> 'delete'"""
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+a AS ({state.format(pred="WHERE lsn < 2000")}),
+b AS ({state.format(pred="")}),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.doc_id IS NOT NULL AS ina, b.doc_id IS NOT NULL AS inb,
+         a.tokens_csv AS at, a.n_tok AS an, a.source AS asrc,
+         b.tokens_csv AS bt, b.n_tok AS bn, b.source AS bsrc,
+         (a.tokens_csv IS DISTINCT FROM b.tokens_csv
+          OR a.n_tok IS DISTINCT FROM b.n_tok
+          OR a.source IS DISTINCT FROM b.source) AS changed
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT doc_id, bt AS tokens_csv, bn AS n_tok, bsrc AS source,
+       'insert' AS _change_type FROM j WHERE inb AND NOT ina
+UNION ALL
+SELECT doc_id, at, an, asrc, 'delete' FROM j WHERE ina AND NOT inb
+UNION ALL
+SELECT doc_id, at, an, asrc, 'update_pre' FROM j WHERE ina AND inb AND changed
+UNION ALL
+SELECT doc_id, bt, bn, bsrc, 'update_post' FROM j WHERE ina AND inb AND changed
+"""
+
+
 def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's salted LWW dedup applied to the driver `events` table
     as a change feed: event_id=LSN, user_id=key, event_type→op."""
@@ -493,12 +544,17 @@ SELECT 'union:' || side AS op, CAST(k AS BIGINT) AS k FROM (
 
 
 def q_window_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 window dedup: latest event per user (row_number, total order)."""
+    """§2.5 window surface, one keyed frame (the driver's correctness
+    file caps at 50 queries, so both window families keep a checked row
+    here): row_number LWW (latest event per user, total order — the
+    WindowGroupLimit map-side top-1 shape) joined with the lag()
+    change-detect tail (per-user count of event-type transitions).
+    Both sides partition on user_id, so the join adds no new key."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    return (
+    lww = (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -508,12 +564,33 @@ def q_window_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+    wl = Window.partitionBy("user_id").orderBy("event_id")
+    chg = (
+        e.withColumn("prev_type", F.lag("event_type").over(wl))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_type").isNotNull()
+                    & (F.col("prev_type") != F.col("event_type")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changes")
+        )
+    )
+    return lww.join(chg, "user_id")
 
 
 _SQL_WINDOW_LWW = """
-SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
-FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
-WHERE rn = 1
+SELECT l.user_id, last_event_id, last_event_type, last_value, n_changes
+FROM (
+  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+  WHERE rn = 1) l
+JOIN (
+  SELECT user_id, CAST(sum(CASE WHEN prev_type IS NOT NULL AND prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) prev_type FROM events)
+  GROUP BY user_id) c ON l.user_id = c.user_id
 """
 
 
@@ -579,33 +656,6 @@ _SQL_GROUP_COLLECT = """
 SELECT user_id, count(*) AS n_events,
        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
 FROM events GROUP BY user_id
-"""
-
-
-def q_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag window: per-user count of event-type transitions (the
-    change-tail view of a keyed stream)."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    return (
-        e.withColumn("prev_type", F.lag("event_type").over(w))
-        .groupBy("user_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("prev_type").isNotNull()
-                    & (F.col("prev_type") != F.col("event_type")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_changes")
-        )
-    )
-
-
-_SQL_CHANGE_DETECT = """
-SELECT user_id, CAST(sum(CASE WHEN prev_type IS NOT NULL AND prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
-FROM (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) prev_type FROM events)
-GROUP BY user_id
 """
 
 
@@ -1736,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lineage": q_cdc_lineage,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_changes": q_cdc_changes,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "sql_surface": q_sql_surface,
         "dedup_incremental": q_dedup_incremental,
@@ -1747,7 +1798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "scalar_funcs": q_scalar_funcs,
         "group_collect": q_group_collect,
-        "change_detect": q_change_detect,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1797,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lineage": _sql_cdc_lineage(),
         "cdc_schema_evolution": _sql_cdc_schema_evolution(),
         "cdc_time_travel": _sql_cdc_time_travel(),
+        "cdc_changes": _sql_cdc_changes(),
         "cdc_lww_dedup": _SQL_CDC_LWW_DEDUP,
         "sql_surface": _sql_sql_surface(),
         "dedup_incremental": _sql_dedup_incremental(),
@@ -1808,7 +1859,6 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _SQL_TOPK_ORDERS,
         "scalar_funcs": _SQL_SCALAR_FUNCS,
         "group_collect": _SQL_GROUP_COLLECT,
-        "change_detect": _SQL_CHANGE_DETECT,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,

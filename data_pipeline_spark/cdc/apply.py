@@ -348,6 +348,9 @@ def apply_batch(
             "operation": "merge",
             "strategy": merge_strategy,
             "touched_buckets": len(touched),
+            # ids let IceboxTable.changes() bucket-prune across CoW
+            # commits (a delta commit's bucket_rows already carries them)
+            "bucket_ids": sorted(touched),
             "winners": n_winners,
         }
 

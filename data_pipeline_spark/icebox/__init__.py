@@ -26,6 +26,12 @@ Overwrite idempotency (/root/reference/footprint-res/resolve-footprints.scala:20
 Hive path partitioning (/root/reference/grid-and-attrs/app.js:53-69).
 """
 
+from .cursor import ChangeCursor
 from .table import ConcurrentCommitError, IceboxTable, SchemaEvolutionError
 
-__all__ = ["ConcurrentCommitError", "IceboxTable", "SchemaEvolutionError"]
+__all__ = [
+    "ChangeCursor",
+    "ConcurrentCommitError",
+    "IceboxTable",
+    "SchemaEvolutionError",
+]

@@ -53,6 +53,26 @@ def register(
     return df
 
 
+def register_changes(
+    table: IceboxTable,
+    name: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+    include_pre: bool = True,
+) -> DataFrame:
+    """SQL surface for the incremental change feed — the engine's
+    `table_changes('t', from, to)` TVF analog (Delta CDF / Iceberg
+    changelog): registers IceboxTable.changes(from, to) as a temp view
+    whose rows carry `_change_type` ∈ {insert, delete, update_pre,
+    update_post}. Snapshot-pinned like register(): re-register after
+    commits to see newer intervals."""
+    df = table.changes(
+        from_snapshot_id, to_snapshot_id, include_pre=include_pre
+    )
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def merge_into(
     table: IceboxTable,
     spark: SparkSession,
