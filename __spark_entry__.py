@@ -333,6 +333,50 @@ SELECT doc_id, bt, bn, bsrc, 'update_post' FROM j WHERE ina AND inb AND changed
 """
 
 
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the change feed
+    (materialize.MaterializedAggregate): a per-source (count, sum n_tok)
+    view refreshed after EVERY applied batch via poll→delta-fold→tagged
+    apply — never recomputed from the source. The oracle recomputes the
+    same aggregate from scratch over the final LWW state, so equality
+    proves the retract/add delta math (insert/update_post +1,
+    delete/update_pre −1) lands on the exact from-scratch answer."""
+    from data_pipeline_spark.materialize import MaterializedAggregate
+
+    key = ("mv", 3000, 300, 1000, 20)
+    if key not in _REPLAY_CACHE:
+        base = tempfile.mkdtemp(prefix="icebox_mv_")
+        src = IceboxTable.create(
+            spark, os.path.join(base, "src"), BASE_SCHEMA, n_buckets=16
+        )
+        ev = gen_event_log_portable(spark, 3000, 300, batch_size=1000, hot_pct=20)
+        mv = MaterializedAggregate(
+            spark, src, os.path.join(base, "mv"), "source", ["n_tok"],
+            name="by_source",
+        )
+        bids = sorted(
+            r["batch_id"] for r in ev.select("batch_id").distinct().collect()
+        )
+        for b in bids:
+            src = apply_batch(src, ev.filter(F.col("batch_id") == b), b, n_salts=8)
+            mv.source = src
+            mv.refresh()
+        _REPLAY_CACHE[key] = os.path.join(base, "mv")
+    view = IceboxTable.load(spark, _REPLAY_CACHE[key])
+    return view.read().select("source", "n_rows", "sum_n_tok")
+
+
+def _sql_cdc_incremental_agg() -> str:
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev),
+final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'delete')
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+FROM final GROUP BY source
+"""
+
+
 def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's salted LWW dedup applied to the driver `events` table
     as a change feed: event_id=LSN, user_id=key, event_type→op."""
@@ -919,6 +963,25 @@ GROUP BY v.vec_id
 # within the driver's 50-query correctness cap. The operators themselves
 # (similarity.ivf_assign, similarity.lsh_bits) are unchanged and remain
 # pytest-covered.)
+
+
+def q_text_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality scoring over `documents`, joined on doc_id
+    into one per-doc gate frame (folded into a single registry row —
+    both operators keep a driver-checked oracle within the driver's
+    50-query correctness cap; both are narrow per-row computations, so
+    the join is the only exchange and broadcasts at audited sf)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.lang_id(docs).join(T.quality_score(docs), "doc_id")
+
+
+def _sql_text_gates() -> str:
+    return f"""
+WITH l AS ({_sql_text_lang_id()}), q AS ({_sql_text_quality()})
+SELECT l.doc_id AS doc_id, lang_pred, lang_score,
+       n_chars, n_words, mean_wlen, n_punct, stop_ratio, punct_ratio, quality
+FROM l JOIN q ON l.doc_id = q.doc_id
+"""
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_changes": q_cdc_changes,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_lww_dedup": q_cdc_lww_dedup,
         "sql_surface": q_sql_surface,
         "dedup_incremental": q_dedup_incremental,
@@ -1807,8 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
+        "text_gates": q_text_gates,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
@@ -1848,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution": _sql_cdc_schema_evolution(),
         "cdc_time_travel": _sql_cdc_time_travel(),
         "cdc_changes": _sql_cdc_changes(),
+        "cdc_incremental_agg": _sql_cdc_incremental_agg(),
         "cdc_lww_dedup": _SQL_CDC_LWW_DEDUP,
         "sql_surface": _sql_sql_surface(),
         "dedup_incremental": _sql_dedup_incremental(),
@@ -1868,8 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(),
         "lsh_bucket_topk": _sql_lsh_bucket_topk(),
         "dedup_embed_cosine_lsh": _sql_dedup_embed_cosine_lsh(),
-        "text_lang_id": _sql_text_lang_id(),
-        "text_quality": _sql_text_quality(),
+        "text_gates": _sql_text_gates(),
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),

@@ -40,6 +40,7 @@ def run_stream(
     dedup_index=None,
     dedup_text_col: str = "tokens",
     dedup_compact_segments: int | None = None,
+    materialized_views=None,
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
@@ -74,6 +75,16 @@ def run_stream(
     least this many have accumulated (IncrementalDeduper.
     compact_if_needed) — the index twin of compact_ratio; runs after
     the epoch's index commit, moves no logical data, crash-safe.
+
+    materialized_views: materialize.MaterializedAggregate instances to
+    fold forward after each epoch's table commit. Each refresh is
+    independently exactly-once (the delta-apply is tagged in the VIEW's
+    own commit log and the cursor recovers from that tag), so a crash
+    between the table commit and a refresh — or between two refreshes —
+    just widens the interval the next refresh folds; nothing is counted
+    twice and nothing is lost. Views lag the table by at most one epoch
+    during the outage window and are exactly consistent at every quiet
+    point.
     """
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -101,6 +112,8 @@ def run_stream(
             dedup_index.apply_batch(docs, f"stream:{query_name}:{epoch_id}")
             if dedup_compact_segments is not None:
                 dedup_index.compact_if_needed(dedup_compact_segments)
+        for mv in materialized_views or ():
+            mv.refresh()  # cursor reloads the source; O(epoch changes)
         if split_rows is not None:
             table = table.split_if_needed(max_rows_per_bucket=split_rows)
         if compact_ratio is not None:
