@@ -221,12 +221,22 @@ def apply_batch(
     tag_prefix: str = "batch",
     dedup_strategy: str = "agg",
     merge_strategy: str = "auto",
+    retry_on_conflict: int = 0,
 ) -> IceboxTable:
     """Apply one change batch; returns the table at the new snapshot.
 
     Exactly-once: the commit is tagged `{tag_prefix}:{batch_id}`; if that
     tag is already committed the whole call is a no-op (idempotent replay
     from any checkpoint).
+
+    retry_on_conflict: optimistic-concurrency rebases when ANOTHER writer
+    (a second ingest stream, a compactor, a materialized-view maintainer)
+    commits between this handle's load and its publish. Delta merges
+    always rebase (appends commute under LWW); copy-on-write merges
+    rebase only across provably bucket-disjoint winners — otherwise
+    ConcurrentCommitError still propagates and the caller reloads and
+    re-applies (the batch itself is replayable: the tag makes a second
+    application of an already-won batch a no-op).
 
     merge_strategy: "auto" broadcasts the deduped batch when it is small
     enough (steady-state CDC), else shuffles; "join"/"shuffle" force.
@@ -258,7 +268,8 @@ def apply_batch(
         # then a tiny stats job over the written compact file — no
         # persist/cache of the batch, no second pass over raw events
         return _apply_delta_fused(
-            table, ev, batch_id, tag, saved_schema_id, saved_schemas
+            table, ev, batch_id, tag, saved_schema_id, saved_schemas,
+            retry_on_conflict=retry_on_conflict,
         )
     winners = None
     ev_persisted = False
@@ -324,6 +335,7 @@ def apply_batch(
                 [],
                 tag=tag,
                 summary={"operation": "merge", "events": 0},
+                retry_on_conflict=retry_on_conflict,
             )
         n_winners = sum(r["n"] or 0 for r in stats)
         if merge_strategy == "auto":
@@ -368,7 +380,7 @@ def apply_batch(
             }
             return table.commit_delta(
                 deltas, bucket_rows, tag=tag, lineage=lineage, summary=summary,
-                key_bounds=key_bounds,
+                key_bounds=key_bounds, retry_on_conflict=retry_on_conflict,
             )
 
         # target rows (incl. tombstones) of touched buckets only — the
@@ -386,6 +398,7 @@ def apply_batch(
             lineage=lineage,
             summary=summary,
             repartition=False,  # both merge plans already cluster by _b
+            retry_on_conflict=retry_on_conflict,
         )
     finally:
         if ev_persisted:
@@ -401,6 +414,7 @@ def _apply_delta_fused(
     tag: str,
     saved_schema_id: int,
     saved_schemas: dict,
+    retry_on_conflict: int = 0,
 ) -> IceboxTable:
     """Merge-on-read apply with the per-batch job count minimized:
 
@@ -485,6 +499,7 @@ def _apply_delta_fused(
                 [],
                 tag=tag,
                 summary={"operation": "merge", "events": 0},
+                retry_on_conflict=retry_on_conflict,
             )
         bid = int(batch_id) if str(batch_id).lstrip("-").isdigit() else -1
         lineage = [
@@ -510,8 +525,12 @@ def _apply_delta_fused(
                 "operation": "merge",
                 "strategy": "delta",
                 "touched_buckets": len(touched),
+                # ids let concurrent rewrites prove bucket-disjointness
+                # when rebasing past this commit
+                "bucket_ids": sorted(touched),
                 "winners": sum(bucket_rows.values()),
             },
+            retry_on_conflict=retry_on_conflict,
         )
     except Exception:
         # nothing committed — reclaim the staged dir now (not waiting for

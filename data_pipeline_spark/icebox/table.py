@@ -416,6 +416,7 @@ class IceboxTable:
         lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
         repartition: bool = True,
+        retry_on_conflict: int = 0,
     ) -> "IceboxTable":
         """Copy-on-write commit: `merged` holds the COMPLETE new contents of
         `touched_buckets` (with a `_b` bucket column; merge metadata
@@ -424,12 +425,25 @@ class IceboxTable:
 
         repartition=False when the caller already clustered by `_b`
         (the merge path does) — avoids a second exchange before the write.
+
+        retry_on_conflict: optimistic-concurrency rebases (Iceberg-style).
+        A rewrite's contents were computed FROM this handle's snapshot, so
+        losing the manifest race is only recoverable when every concurrent
+        commit provably touched a DISJOINT bucket set (each merge/compact
+        commit records its bucket ids): then the already-written files are
+        re-published on top of the winner's manifest — no data moves. An
+        overlapping bucket, an op that doesn't record its buckets
+        (rollback/overwrite), a bucket-layout change, or diverging schema
+        evolution still raises ConcurrentCommitError.
         """
         if tag is not None and self.has_tag(tag):
             return self  # exactly-once: replay of a committed tag is a no-op
-        self._check_current()
-        sid = self.snapshot_id + 1
-        snap_dirname = f"snap-{sid:08d}-{uuid.uuid4().hex[:8]}"
+        if retry_on_conflict <= 0:
+            # fail fast before the heavy write; with retries the stale
+            # state is still readable (files are immutable) and the
+            # publish loop arbitrates
+            self._check_current()
+        snap_dirname = f"snap-{self.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", snap_dirname)
         snap_abs = os.path.join(self.root, snap_rel)
 
@@ -458,44 +472,20 @@ class IceboxTable:
             for d in os.listdir(snap_abs)
             if d.startswith("_b=")
         }
-        new_buckets = dict(self.manifest["buckets"])
-        cur_sid = self.manifest["current_schema_id"]
-        for b in touched_buckets:
-            if b in written:
-                bdir = os.path.join(snap_abs, f"_b={b}")
-                new_buckets[str(b)] = {
-                    "path": os.path.join(snap_rel, f"_b={b}"),
-                    "schema_id": cur_sid,
-                    # row count from parquet footers (driver O(#files),
-                    # footer-only reads) — feeds the merge-strategy
-                    # heuristic (batch size vs table size)
-                    "rows": _parquet_rows(bdir),
-                }
-            else:
-                new_buckets.pop(str(b), None)  # bucket emptied by deletes
-
-        # the rewrite holds the COMPLETE new contents of touched buckets,
-        # so any delta rows for them are now folded in: prune those
-        # buckets from every delta entry (files are left in place —
-        # immutable — and reclaimed by expire_snapshots once no kept
-        # manifest's entries reference them)
+        # schema the files were WRITTEN with — stays pinned across a
+        # rebase even if a concurrent winner evolved the current schema
+        file_schema_id = self.manifest["current_schema_id"]
+        # row count from parquet footers (driver O(#files), footer-only
+        # reads) — feeds the merge-strategy heuristic (batch size vs
+        # table size)
+        rows_by_bucket = {
+            b: _parquet_rows(os.path.join(snap_abs, f"_b={b}"))
+            for b in touched_buckets
+            if b in written
+        }
         touched_strs = {str(b) for b in touched_buckets}
-        new_deltas = []
-        for d in self.manifest.get("deltas") or []:
-            remaining = {
-                b: n for b, n in d["bucket_rows"].items() if b not in touched_strs
-            }
-            if remaining:
-                nd = {**d, "bucket_rows": remaining}
-                if "key_bounds" in nd:  # bounds travel with their buckets
-                    kb = {b: v for b, v in nd["key_bounds"].items() if b in remaining}
-                    if kb:
-                        nd["key_bounds"] = kb
-                    else:
-                        nd.pop("key_bounds")
-                new_deltas.append(nd)
 
-        lineage_paths = list(self.manifest["lineage_paths"])
+        lineage_rel = None
         if lineage is not None:
             if isinstance(lineage, DataFrame):
                 lineage = [tuple(r) for r in lineage.collect()]
@@ -504,23 +494,73 @@ class IceboxTable:
             # so co-locating it with snapshot data would pin every
             # historical snapshot dir forever and expire_snapshots could
             # never reclaim superseded bucket data
-            lin_rel = os.path.join("data", "lineage", snap_dirname)
-            _write_lineage_local(os.path.join(self.root, lin_rel), lineage)
-            lineage_paths.append(lin_rel)
+            lineage_rel = os.path.join("data", "lineage", snap_dirname)
+            _write_lineage_local(os.path.join(self.root, lineage_rel), lineage)
 
-        manifest = {
-            **self.manifest,
-            "snapshot_id": sid,
-            "parent_id": self.snapshot_id,
-            "tag": tag,
-            "committed_tags": self.manifest["committed_tags"] + ([tag] if tag else []),
-            "buckets": new_buckets,
-            "deltas": new_deltas,
-            "lineage_paths": lineage_paths,
-            "summary": summary or {},
-        }
-        self._write_manifest(manifest)
-        return IceboxTable(self.spark, self.root, manifest)
+        tbl, retries = self, retry_on_conflict
+        while True:
+            base = tbl.manifest
+            new_buckets = dict(base["buckets"])
+            for b in touched_buckets:
+                if b in written:
+                    new_buckets[str(b)] = {
+                        "path": os.path.join(snap_rel, f"_b={b}"),
+                        "schema_id": file_schema_id,
+                        "rows": rows_by_bucket[b],
+                    }
+                else:
+                    new_buckets.pop(str(b), None)  # bucket emptied by deletes
+
+            # the rewrite holds the COMPLETE new contents of touched
+            # buckets, so any delta rows for them are now folded in: prune
+            # those buckets from every delta entry (files are left in
+            # place — immutable — and reclaimed by expire_snapshots once
+            # no kept manifest's entries reference them). On a rebase this
+            # runs over the WINNER's delta list — safe because the rebase
+            # validated that no concurrent commit touched these buckets,
+            # so every pruned row was already visible to (and folded by)
+            # this rewrite's read.
+            new_deltas = []
+            for d in base.get("deltas") or []:
+                remaining = {
+                    b: n for b, n in d["bucket_rows"].items() if b not in touched_strs
+                }
+                if remaining:
+                    nd = {**d, "bucket_rows": remaining}
+                    if "key_bounds" in nd:  # bounds travel with their buckets
+                        kb = {b: v for b, v in nd["key_bounds"].items() if b in remaining}
+                        if kb:
+                            nd["key_bounds"] = kb
+                        else:
+                            nd.pop("key_bounds")
+                    new_deltas.append(nd)
+
+            manifest = {
+                **base,
+                "snapshot_id": tbl.snapshot_id + 1,
+                "parent_id": tbl.snapshot_id,
+                "tag": tag,
+                "committed_tags": base["committed_tags"] + ([tag] if tag else []),
+                "buckets": new_buckets,
+                "deltas": new_deltas,
+                "lineage_paths": list(base["lineage_paths"])
+                + ([lineage_rel] if lineage_rel else []),
+                "summary": summary or {},
+            }
+            try:
+                tbl._check_current()
+                tbl._write_manifest(manifest)
+                return IceboxTable(self.spark, self.root, manifest)
+            except ConcurrentCommitError:
+                if retries <= 0:
+                    raise
+                retries -= 1
+                fresh = self._rebase_for_retry(
+                    tbl.manifest, tag, touched_buckets=touched_buckets
+                )
+                if fresh is None:  # our tag won via the other writer
+                    return IceboxTable.load(self.spark, self.root)
+                tbl = fresh
 
     def stage_delta(self, deltas: DataFrame, extra_cols: list[str] | None = None) -> str:
         """Write a delta file set for the NEXT snapshot WITHOUT committing;
@@ -569,6 +609,7 @@ class IceboxTable:
         lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
         key_bounds: dict | None = None,
+        retry_on_conflict: int = 0,
     ) -> "IceboxTable":
         """Publish a delta file set previously written by stage_delta —
         the metadata half of commit_delta (manifest append + lineage),
@@ -579,15 +620,25 @@ class IceboxTable:
         lower_bounds/upper_bounds analog). Keyed reads use them to skip
         this delta entirely when no probed key can fall in range. Only
         JSON-safe scalar bounds are recorded; anything else is dropped
-        (pruning is an optimization, never a correctness dependency)."""
+        (pruning is an optimization, never a correctness dependency).
+
+        retry_on_conflict: optimistic-concurrency rebases (Iceberg's
+        fast-append analog). A delta append COMMUTES with other merge
+        commits — the read path LWW-resolves per key on (_lsn, commit
+        order), so any serialization of independent writers' batches
+        yields the same final state. Losing the manifest race therefore
+        just means rebase: reload CURRENT, merge any in-memory schema
+        evolution (ids are append-only; a true id collision or a
+        concurrent bucket-layout change refuses), and re-publish the SAME
+        staged files — no data is rewritten."""
         if tag is not None and self.has_tag(tag):
             return self
-        self._check_current()
-        sid = self.snapshot_id + 1
         snap_dirname = os.path.basename(snap_rel)
 
         entry = {
             "path": snap_rel,
+            # schema the staged files were WRITTEN with — pinned across a
+            # rebase even if a concurrent winner evolved the current schema
             "schema_id": self.manifest["current_schema_id"],
             "bucket_rows": {str(b): int(n) for b, n in bucket_rows.items()},
         }
@@ -602,28 +653,39 @@ class IceboxTable:
             }
             if safe:
                 entry["key_bounds"] = safe
-        new_deltas = list(self.manifest.get("deltas") or [])
-        new_deltas.append(entry)
-        lineage_paths = list(self.manifest["lineage_paths"])
+        lineage_rel = None
         if lineage is not None:
             if isinstance(lineage, DataFrame):
                 lineage = [tuple(r) for r in lineage.collect()]
-            lin_rel = os.path.join("data", "lineage", snap_dirname)
-            _write_lineage_local(os.path.join(self.root, lin_rel), lineage)
-            lineage_paths.append(lin_rel)
+            lineage_rel = os.path.join("data", "lineage", snap_dirname)
+            _write_lineage_local(os.path.join(self.root, lineage_rel), lineage)
 
-        manifest = {
-            **self.manifest,
-            "snapshot_id": sid,
-            "parent_id": self.snapshot_id,
-            "tag": tag,
-            "committed_tags": self.manifest["committed_tags"] + ([tag] if tag else []),
-            "deltas": new_deltas,
-            "lineage_paths": lineage_paths,
-            "summary": summary or {},
-        }
-        self._write_manifest(manifest)
-        return IceboxTable(self.spark, self.root, manifest)
+        tbl, retries = self, retry_on_conflict
+        while True:
+            base = tbl.manifest
+            manifest = {
+                **base,
+                "snapshot_id": tbl.snapshot_id + 1,
+                "parent_id": tbl.snapshot_id,
+                "tag": tag,
+                "committed_tags": base["committed_tags"] + ([tag] if tag else []),
+                "deltas": list(base.get("deltas") or []) + [entry],
+                "lineage_paths": list(base["lineage_paths"])
+                + ([lineage_rel] if lineage_rel else []),
+                "summary": summary or {},
+            }
+            try:
+                tbl._check_current()
+                tbl._write_manifest(manifest)
+                return IceboxTable(self.spark, self.root, manifest)
+            except ConcurrentCommitError:
+                if retries <= 0:
+                    raise
+                retries -= 1
+                fresh = self._rebase_for_retry(tbl.manifest, tag)
+                if fresh is None:  # our tag won via the other writer
+                    return IceboxTable.load(self.spark, self.root)
+                tbl = fresh
 
     def commit_delta(
         self,
@@ -633,6 +695,7 @@ class IceboxTable:
         lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
         key_bounds: dict | None = None,
+        retry_on_conflict: int = 0,
     ) -> "IceboxTable":
         """Merge-on-read commit: append ONE compact delta file set instead
         of rewriting buckets. `deltas` holds the batch's deduped winners
@@ -656,9 +719,9 @@ class IceboxTable:
         """
         if tag is not None and self.has_tag(tag):
             return self
-        self._check_current()
-        sid = self.snapshot_id + 1
-        snap_dirname = f"snap-{sid:08d}-{uuid.uuid4().hex[:8]}"
+        if retry_on_conflict <= 0:
+            self._check_current()  # fail fast before the delta write
+        snap_dirname = f"snap-{self.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", snap_dirname)
         snap_abs = os.path.join(self.root, snap_rel)
 
@@ -681,7 +744,7 @@ class IceboxTable:
         )
         return self.commit_staged_delta(
             snap_rel, bucket_rows, tag=tag, lineage=lineage, summary=summary,
-            key_bounds=key_bounds,
+            key_bounds=key_bounds, retry_on_conflict=retry_on_conflict,
         )
 
     def compact_if_needed(
@@ -717,7 +780,13 @@ class IceboxTable:
             merged,
             chosen,
             tag=tag,
-            summary={"operation": "compact", "buckets": len(chosen)},
+            summary={
+                "operation": "compact",
+                "buckets": len(chosen),
+                # ids let concurrent rewrites prove bucket-disjointness
+                # when rebasing past this compaction (_intervening_touched)
+                "bucket_ids": sorted(chosen),
+            },
         )
 
     def rollback(self, snapshot_id: int) -> "IceboxTable":
@@ -1014,6 +1083,85 @@ class IceboxTable:
             merged, list(range(self.n_buckets)), tag=tag, summary={"operation": "overwrite"}
         )
 
+    def _rebase_for_retry(
+        self,
+        stale_manifest: dict,
+        tag: str | None,
+        touched_buckets: "list[int] | None" = None,
+    ) -> "IceboxTable | None":
+        """Reload CURRENT after losing the commit race and validate that
+        the pending commit can be replayed on top of the winner(s).
+
+        Returns the fresh handle (with the stale side's in-memory schema
+        evolution merged into it), or None when `tag` is already committed
+        (a racing writer published the same idempotency tag — the pending
+        commit is a logical no-op). Raises ConcurrentCommitError when the
+        rebase is not provably safe:
+          * the bucket layout changed (concurrent split, or a rollback
+            across one) — the pending files' `_b` values refer to a
+            different layout;
+          * both sides evolved the schema to DIFFERENT new schemas, or
+            allocated the same schema id for different schemas;
+          * for rewrites (touched_buckets given): a concurrent commit
+            touched an overlapping bucket, or an intervening operation
+            doesn't record its touched buckets (rollback/overwrite) —
+            the rewrite's contents were computed from a stale state.
+        """
+        fresh = IceboxTable.load(self.spark, self.root)
+        if tag is not None and fresh.has_tag(tag):
+            return None
+        if fresh.n_buckets != stale_manifest["n_buckets"]:
+            raise ConcurrentCommitError(
+                f"bucket layout changed ({stale_manifest['n_buckets']} -> "
+                f"{fresh.n_buckets}) while this commit was pending; "
+                "recompute from the fresh snapshot"
+            )
+        schemas, cur = _rebase_schemas(stale_manifest, fresh.manifest)
+        if touched_buckets is not None:
+            overlap = self._intervening_touched(
+                stale_manifest["snapshot_id"], fresh.snapshot_id
+            ) & {int(b) for b in touched_buckets}
+            if overlap:
+                raise ConcurrentCommitError(
+                    f"concurrent writer touched buckets {sorted(overlap)[:8]}"
+                    " overlapping this rewrite; recompute from the fresh "
+                    "snapshot"
+                )
+        fresh.manifest["schemas"] = schemas
+        fresh.manifest["current_schema_id"] = cur
+        return fresh
+
+    def _intervening_touched(self, from_sid: int, to_sid: int) -> set[int]:
+        """Union of bucket ids touched by commits (from_sid, to_sid] —
+        O(#commits) driver-side manifest JSON, same walk as changes().
+        Raises ConcurrentCommitError on any commit whose touched set is
+        unknowable (rollback/overwrite/split/unrecognized): a rewrite
+        cannot prove disjointness against those."""
+        meta_dir = os.path.join(self.root, "metadata")
+        touched: set[int] = set()
+        for sid in range(from_sid + 1, to_sid + 1):
+            with open(os.path.join(meta_dir, f"snap-{sid:08d}.json")) as f:
+                m = json.load(f)
+            s = m.get("summary") or {}
+            op = s.get("operation")
+            if op == "merge" and s.get("events") == 0:
+                continue  # rejected/empty batch: committed, no rows
+            if isinstance(s.get("bucket_ids"), list):
+                touched |= {int(b) for b in s["bucket_ids"]}
+                continue
+            if op == "merge" and s.get("strategy") == "delta" and m.get("deltas"):
+                # older delta commits without summary ids: the appended
+                # entry (always last) carries its buckets
+                touched |= {int(b) for b in m["deltas"][-1]["bucket_rows"]}
+                continue
+            raise ConcurrentCommitError(
+                f"cannot rebase across a concurrent "
+                f"{op or 'unrecognized'} commit (snapshot {sid}) — it does "
+                "not record its touched buckets; recompute from the fresh "
+                "snapshot"
+            )
+        return touched
+
     def _check_current(self) -> None:
         cur_path = os.path.join(self.root, "metadata", "CURRENT")
         with open(cur_path) as f:
@@ -1082,6 +1230,36 @@ LINEAGE_SCHEMA = StructType(
         StructField("lsn_watermark", LongType()),
     ]
 )
+
+
+def _rebase_schemas(stale: dict, fresh: dict) -> tuple[dict, int]:
+    """Merge a stale handle's (possibly in-memory-evolved) schema list
+    into a freshly loaded manifest's, for an optimistic-concurrency
+    rebase. Schema ids are append-only, so the fresh list is a superset
+    of the stale handle's COMMITTED ids; anything extra on the stale side
+    is its own in-memory evolution and carries over. The same id bound to
+    different JSON means two writers allocated it concurrently — refuse.
+    current_schema_id resolves to whichever side evolved; BOTH evolving
+    to different schemas is a true conflict (no automatic union of two
+    divergent evolutions)."""
+    merged = dict(fresh["schemas"])
+    for k, v in stale["schemas"].items():
+        if merged.get(k, v) != v:
+            raise ConcurrentCommitError(
+                f"concurrent schema evolution both allocated schema id {k}"
+                " for different schemas; reload and re-apply"
+            )
+        merged[k] = v
+    s_cur, f_cur = stale["current_schema_id"], fresh["current_schema_id"]
+    s_new = str(s_cur) not in fresh["schemas"]
+    f_new = str(f_cur) not in stale["schemas"]
+    if s_new and f_new and s_cur != f_cur:
+        raise ConcurrentCommitError(
+            f"concurrent schema evolution diverged (ids {s_cur} vs {f_cur});"
+            " reload and re-apply"
+        )
+    cur = s_cur if s_new else (f_cur if f_new else max(s_cur, f_cur))
+    return merged, cur
 
 
 def _fsync_dir(path: str) -> None:
