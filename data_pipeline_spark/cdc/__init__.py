@@ -1,9 +1,19 @@
 """cdc — the change-data-capture apply engine.
 
-apply.py   normalize → salted LWW dedup → copy-on-write MERGE → tagged commit
+apply.py   normalize → salted LWW dedup → copy-on-write/MoR MERGE → tagged commit
+partial.py column-level LWW for sparse change feeds (Paimon partial-update analog)
 stream.py  Structured Streaming foreachBatch driver + checkpoint resume
 """
 
 from .apply import apply_batch, lww_dedup, normalize_events, replay_log
+from .partial import apply_batch_partial, fold_partial_updates, replay_log_partial
 
-__all__ = ["apply_batch", "lww_dedup", "normalize_events", "replay_log"]
+__all__ = [
+    "apply_batch",
+    "apply_batch_partial",
+    "fold_partial_updates",
+    "lww_dedup",
+    "normalize_events",
+    "replay_log",
+    "replay_log_partial",
+]
