@@ -146,6 +146,43 @@ def apply_batch_partial(
     second driver collect; the re-emitted row is bit-identical so the
     LWW read is indifferent).
     """
+
+    def combine(c: str, old_ok, types):
+        # last set value wins; an unset batch column keeps the old value
+        # (gated: the old row must be live and not deleted-past)
+        return F.coalesce(F.col(c), F.when(old_ok, F.col(f"_old_{c}")))
+
+    return _apply_columnar(
+        table,
+        events,
+        batch_id,
+        fold_partial_updates,
+        combine,
+        mode="partial",
+        tag_prefix=tag_prefix,
+        merge_strategy=merge_strategy,
+        retry_on_conflict=retry_on_conflict,
+    )
+
+
+def _apply_columnar(
+    table: IceboxTable,
+    events: DataFrame,
+    batch_id: int | str,
+    fold_fn,
+    combine_fn,
+    mode: str,
+    tag_prefix: str = "batch",
+    merge_strategy: str = "delta",
+    retry_on_conflict: int = 0,
+) -> IceboxTable:
+    """Shared columnar-merge core (partial-update AND aggregation merge
+    engines — see cdc/aggregate.py). fold_fn(ev, key, cols) must return
+    one row per key carrying the payload cols (batch-resolved values,
+    null = "nothing to contribute") plus the meta contract
+    (_live, _had_del, _del_lsn, _wm, _n_ev, _bad); combine_fn(c, old_ok,
+    types) builds the fresh+live merged value of column c from the batch
+    column `c` and the stored `_old_{c}`."""
     tag = f"{tag_prefix}:{batch_id}"
     if table.has_tag(tag):
         return table
@@ -156,7 +193,7 @@ def apply_batch_partial(
     cols = [f.name for f in table.schema.fields if f.name != key]
 
     folded = (
-        fold_partial_updates(ev, key, cols)
+        fold_fn(ev, key, cols)
         .withColumn("_b", table.bucket_of())
         .persist()
     )
@@ -227,9 +264,7 @@ def apply_batch_partial(
                     F.col(f"_old_{c}"),
                 )
                 .when(~F.col("_live"), F.lit(None).cast(types[c]))
-                .otherwise(
-                    F.coalesce(F.col(c), F.when(old_ok, F.col(f"_old_{c}")))
-                )
+                .otherwise(combine_fn(c, old_ok, types))
                 .alias(c)
             )
         resolved = j.select(
@@ -258,7 +293,7 @@ def apply_batch_partial(
         summary = {
             "operation": "merge",
             "strategy": "delta" if delta_mode else "shuffle",
-            "mode": "partial",
+            "mode": mode,
             "touched_buckets": len(touched),
             "bucket_ids": sorted(touched),
             "winners": sum(int(r["n"]) for r in stats),
