@@ -35,7 +35,14 @@ from pyspark.sql.types import (
 )
 
 from data_pipeline_spark.cdc.apply import apply_batch, lww_dedup, replay_log
-from data_pipeline_spark.gen import gen_event_log_portable, portable_event_log_sql
+from data_pipeline_spark.cdc.aggregate import replay_log_agg
+from data_pipeline_spark.cdc.partial import replay_log_partial
+from data_pipeline_spark.gen import (
+    gen_event_log_portable,
+    gen_sparse_event_log_portable,
+    portable_event_log_sql,
+    sparse_event_log_sql,
+)
 from data_pipeline_spark.icebox.table import IceboxTable
 from data_pipeline_spark.operators import dedup as D
 from data_pipeline_spark.operators import multimodal as M
@@ -170,6 +177,104 @@ def _sql_cdc_mor_replay() -> str:
     # deliberately the SAME contract as the CoW replay: identical log,
     # identical final state
     return _sql_cdc_replay_final_state()
+
+
+def _final_state_csv_nullsafe(table: IceboxTable) -> DataFrame:
+    """_final_state_csv for merge engines whose live rows can hold null
+    columns (partial-update / aggregation): a null token array stays
+    NULL instead of concat_ws's ''."""
+    return table.read().select(
+        "doc_id",
+        F.when(
+            F.col("tokens").isNotNull(), F.concat_ws(",", "tokens")
+        ).alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+# the sparse replays share one CTE skeleton: per-doc delete barrier,
+# then per-column folds over post-barrier contributions only
+_SPARSE_REPLAY_SQL = """
+WITH ev AS ({ev}),
+d AS (SELECT doc_id,
+        coalesce(max(CASE WHEN op = 'delete' THEN lsn END), -1) AS dl
+      FROM ev GROUP BY doc_id),
+j AS (SELECT e.*, d.dl FROM ev e JOIN d USING (doc_id)),
+agg AS (SELECT doc_id,
+    {tokens_fold} FILTER (WHERE op <> 'delete' AND lsn > dl
+                          AND tokens IS NOT NULL) AS tokens,
+    {ntok_fold}   FILTER (WHERE op <> 'delete' AND lsn > dl
+                          AND n_tok IS NOT NULL) AS n_tok,
+    {source_fold} FILTER (WHERE op <> 'delete' AND lsn > dl
+                          AND source IS NOT NULL) AS source,
+    max(lsn) FILTER (WHERE op <> 'delete' AND lsn > dl) AS live_lsn
+  FROM j GROUP BY doc_id)
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv,
+       CAST(n_tok AS INT) AS n_tok, source
+FROM agg WHERE live_lsn IS NOT NULL
+"""
+
+
+def q_cdc_partial_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update (column-level LWW) replay of a SPARSE change feed
+    (cdc/partial.py): each event sets only the columns it carries, a
+    delete resets the row, resurrection never leaks pre-delete values.
+    Final state must equal a per-column arg_max fold over the post-
+    delete-barrier events — replay-equivalence for the sparse merge
+    engine, exactly as cdc_replay_final_state is for row LWW."""
+    key = (3000, 300, 1000, 20, "partial")
+    if key in _REPLAY_CACHE:
+        table = IceboxTable.load(spark, _REPLAY_CACHE[key])
+    else:
+        root = os.path.join(tempfile.mkdtemp(prefix="icebox_partial_"), "t")
+        table = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+        ev = gen_sparse_event_log_portable(
+            spark, 3000, 300, batch_size=1000, hot_pct=20
+        )
+        table = replay_log_partial(table, ev)
+        _REPLAY_CACHE[key] = root
+    return _final_state_csv_nullsafe(table)
+
+
+def _sql_cdc_partial_replay() -> str:
+    return _SPARSE_REPLAY_SQL.format(
+        ev=sparse_event_log_sql(3000, 300, 1000, 20),
+        tokens_fold="arg_max(tokens, lsn)",
+        ntok_fold="arg_max(n_tok, lsn)",
+        source_fold="arg_max(source, lsn)",
+    )
+
+
+def q_cdc_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation merge engine replay (cdc/aggregate.py) over the same
+    sparse feed: tokens last-non-null, n_tok RUNNING SUM, source MAX —
+    the committed row is the accumulator, so the final table must equal
+    one global per-column aggregate over the post-delete-barrier
+    events."""
+    key = (3000, 300, 1000, 20, "aggmerge")
+    if key in _REPLAY_CACHE:
+        table = IceboxTable.load(spark, _REPLAY_CACHE[key])
+    else:
+        root = os.path.join(tempfile.mkdtemp(prefix="icebox_agg_"), "t")
+        table = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=8)
+        ev = gen_sparse_event_log_portable(
+            spark, 3000, 300, batch_size=1000, hot_pct=20
+        )
+        table = replay_log_agg(
+            table, ev, {"tokens": "last", "n_tok": "sum", "source": "max"}
+        )
+        _REPLAY_CACHE[key] = root
+    return _final_state_csv_nullsafe(table)
+
+
+def _sql_cdc_agg_merge() -> str:
+    return _SPARSE_REPLAY_SQL.format(
+        ev=sparse_event_log_sql(3000, 300, 1000, 20),
+        tokens_fold="arg_max(tokens, lsn)",
+        ntok_fold="sum(n_tok)",
+        source_fold="max(source)",
+    )
 
 
 def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,16 +903,24 @@ WHERE rank <= 3
 
 
 def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup clustering: rep_id = min over {self} ∪
-    {cos ≥ 0.6 neighbors} (exact brute-force baseline over a bounded
-    2000-vector slice — all-pairs is the CORRECTNESS baseline, so the
-    driver query bounds it; the LSH-cascaded scale path is
-    pytest-covered for agreement)."""
+    """Embedding-cosine near-dup clustering, BOTH paths in one driver-
+    checked row: method='exact' is the brute-force all-pairs baseline
+    over a bounded 2000-vector slice (the correctness reference),
+    method='lsh' is the LSH-cascaded scale path (capped buckets →
+    exact-cosine verify) that actually runs at 100 TB. Each is verified
+    against its own independent DuckDB twin."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
-    return S.embed_cosine_dedup(emb, threshold=0.6, all_pairs=True)
+    exact = S.embed_cosine_dedup(emb, threshold=0.6, all_pairs=True).select(
+        F.lit("exact").alias("method"), "vec_id", "rep_id"
+    )
+    lsh = S.embed_cosine_dedup(
+        emb, threshold=0.6, all_pairs=False, n_planes=8, n_tables=2,
+        max_bucket_size=256,
+    ).select(F.lit("lsh").alias("method"), "vec_id", "rep_id")
+    return exact.unionByName(lsh)
 
 
-_SQL_DEDUP_EMBED_COSINE = """
+_SQL_DEDUP_EMBED_COSINE_EXACT = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
            WHERE vec_id < 2000),
 near AS (
@@ -817,11 +930,19 @@ near AS (
     AND list_sum(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i])) /
         (sqrt(list_sum(list_transform(range(1, 65), i -> a.ve[i] * a.ve[i]))) *
          sqrt(list_sum(list_transform(range(1, 65), i -> b.ve[i] * b.ve[i])))) >= 0.6)
-SELECT v.vec_id AS vec_id,
+SELECT 'exact' AS method, v.vec_id AS vec_id,
        least(coalesce(min(near.id_b), v.vec_id), v.vec_id) AS rep_id
 FROM v LEFT JOIN near ON near.id_a = v.vec_id
 GROUP BY v.vec_id
 """
+
+
+def _sql_dedup_embed_cosine() -> str:
+    return (
+        _SQL_DEDUP_EMBED_COSINE_EXACT
+        + "\nUNION ALL\n"
+        + _sql_dedup_embed_cosine_lsh()
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,22 +1047,10 @@ WHERE rank <= 3
 """
 
 
-def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH-CASCADED embedding near-dup path (all_pairs=False) — the
-    plan that actually runs at 100 TB: candidates from capped LSH buckets,
-    exact-cosine verify, rep = min over confirmed neighbors. Same contract
-    as dedup_embed_cosine's brute-force baseline, now oracle-checked on
-    the scale path itself."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
-    return S.embed_cosine_dedup(
-        emb, threshold=0.6, all_pairs=False, n_planes=8, n_tables=2,
-        max_bucket_size=256,
-    )
-
-
 def _sql_dedup_embed_cosine_lsh() -> str:
     cos_qn = _COS_SQL.format(a="qv", b="nv")
     return f"""
+SELECT * FROM (
 WITH {_sql_lsh_cand("vec_id < 2000", n_planes=8, n_tables=2, cap=256)},
 near AS (
   SELECT query_id AS id_a, neighbor_id AS id_b
@@ -949,10 +1058,11 @@ near AS (
   JOIN (SELECT vec_id AS query_id, ve AS qv FROM v) USING (query_id)
   JOIN (SELECT vec_id AS neighbor_id, ve AS nv FROM v) USING (neighbor_id)
   WHERE {cos_qn} >= 0.6)
-SELECT v.vec_id AS vec_id,
+SELECT 'lsh' AS method, v.vec_id AS vec_id,
        least(coalesce(min(near.id_b), v.vec_id), v.vec_id) AS rep_id
 FROM v LEFT JOIN near ON near.id_a = v.vec_id
 GROUP BY v.vec_id
+)
 """
 
 
@@ -1790,40 +1900,43 @@ FROM r
 """
 
 
-def q_tok_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary stats: global token frequency (explode + map-side
-    combine), restricted to tokens seen more than once."""
-    h = TK.token_histogram(_tok_docs(spark))
-    return h.filter(F.col("n") > 1).select(F.col("token").cast("int"), "n")
-
-
-def _sql_tok_histogram() -> str:
-    return f"""
-WITH td AS ({token_docs_sql(_N_TOKDOCS)})
-SELECT CAST(t AS INT) AS token, count(*) AS n
-FROM (SELECT unnest(tokens) AS t FROM td) GROUP BY t HAVING count(*) > 1
-"""
-
-
-def q_tok_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing (concat-then-chunk, per source, doc_id order) via
-    Arrow-batched applyInPandas — the engine's one pandas-UDF hot path."""
-    packed = TK.pack_sequences(_tok_docs(spark), seq_len=64)
-    return packed.select(
-        "source",
-        "chunk_id",
-        F.concat_ws(",", "tokens").alias("tokens_csv"),
-        "n_tok",
+def q_tok_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary histogram (F7-F9: explode + map-side combine, tokens
+    seen more than once) AND sequence packing (S8/O2: concat-then-chunk
+    per source in doc_id order, Arrow-batched applyInPandas — the
+    engine's one pandas-UDF hot path) in one driver-checked row.
+    part='hist' rows carry (k=token, n=count); part='pack' rows carry
+    (k=source, chunk_id, tokens_csv, n=n_tok)."""
+    td = _tok_docs(spark)
+    h = TK.token_histogram(td).filter(F.col("n") > 1).select(
+        F.lit("hist").alias("part"),
+        F.col("token").cast("string").alias("k"),
+        F.lit(None).cast("bigint").alias("chunk_id"),
+        F.lit(None).cast("string").alias("tokens_csv"),
+        F.col("n").cast("long").alias("n"),
     )
+    p = TK.pack_sequences(td, seq_len=64).select(
+        F.lit("pack").alias("part"),
+        F.col("source").alias("k"),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.concat_ws(",", "tokens").alias("tokens_csv"),
+        F.col("n_tok").cast("long").alias("n"),
+    )
+    return h.unionByName(p)
 
 
-def _sql_tok_pack() -> str:
+def _sql_tok_corpus() -> str:
     return f"""
 WITH td AS ({token_docs_sql(_N_TOKDOCS)}),
 g AS (SELECT source, flatten(list(tokens ORDER BY doc_id)) AS ft FROM td GROUP BY source)
-SELECT source, CAST(i AS BIGINT) AS chunk_id,
+SELECT 'hist' AS part, CAST(CAST(t AS INT) AS VARCHAR) AS k,
+       CAST(NULL AS BIGINT) AS chunk_id, CAST(NULL AS VARCHAR) AS tokens_csv,
+       count(*) AS n
+FROM (SELECT unnest(tokens) AS t FROM td) GROUP BY t HAVING count(*) > 1
+UNION ALL
+SELECT 'pack' AS part, source AS k, CAST(i AS BIGINT) AS chunk_id,
        array_to_string(ft[i*64+1 : (i+1)*64], ',') AS tokens_csv,
-       CAST(length(ft[i*64+1 : (i+1)*64]) AS INT) AS n_tok
+       CAST(length(ft[i*64+1 : (i+1)*64]) AS BIGINT) AS n
 FROM g, range(0, 100000) t(i)
 WHERE i*64 < length(ft)
 """
@@ -1849,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lineage": q_cdc_lineage,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_partial_replay": q_cdc_partial_replay,
+        "cdc_agg_merge": q_cdc_agg_merge,
         "cdc_changes": q_cdc_changes,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_lww_dedup": q_cdc_lww_dedup,
@@ -1870,7 +1985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": q_embed_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
-        "dedup_embed_cosine_lsh": q_dedup_embed_cosine_lsh,
         "text_gates": q_text_gates,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
@@ -1891,8 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_windows": q_sliding_windows,
         "self_band_join": q_self_band_join,
         "tok_pipeline": q_tok_pipeline,
-        "tok_histogram": q_tok_histogram,
-        "tok_pack": q_tok_pack,
+        "tok_corpus": q_tok_corpus,
     }
     assert len(q) <= DRIVER_QUERY_CAP, (
         f"{len(q)} queries registered but the driver checks only "
@@ -1910,6 +2023,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lineage": _sql_cdc_lineage(),
         "cdc_schema_evolution": _sql_cdc_schema_evolution(),
         "cdc_time_travel": _sql_cdc_time_travel(),
+        "cdc_partial_replay": _sql_cdc_partial_replay(),
+        "cdc_agg_merge": _sql_cdc_agg_merge(),
         "cdc_changes": _sql_cdc_changes(),
         "cdc_incremental_agg": _sql_cdc_incremental_agg(),
         "cdc_lww_dedup": _SQL_CDC_LWW_DEDUP,
@@ -1927,11 +2042,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,
-        "dedup_embed_cosine": _SQL_DEDUP_EMBED_COSINE,
+        "dedup_embed_cosine": _sql_dedup_embed_cosine(),
         "embed_cosine_topk": _SQL_EMBED_COSINE_TOPK,
         "ivf_topk": _sql_ivf_topk(),
         "lsh_bucket_topk": _sql_lsh_bucket_topk(),
-        "dedup_embed_cosine_lsh": _sql_dedup_embed_cosine_lsh(),
         "text_gates": _sql_text_gates(),
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
         "text_fingerprint": _sql_text_fingerprint(),
@@ -1952,6 +2066,5 @@ def oracle_sql() -> dict[str, str]:
         "sliding_windows": _SQL_SLIDING_WINDOWS,
         "self_band_join": _SQL_SELF_BAND_JOIN,
         "tok_pipeline": _sql_tok_pipeline(),
-        "tok_histogram": _sql_tok_histogram(),
-        "tok_pack": _sql_tok_pack(),
+        "tok_corpus": _sql_tok_corpus(),
     }

@@ -274,3 +274,53 @@ def portable_event_log_sql(
            THEN NULL ELSE {src} END AS source
     FROM (SELECT range AS i, {u_op} AS u_op FROM range(0, {n_events}))
     """
+
+
+def gen_sparse_event_log_portable(
+    spark: SparkSession,
+    n_events: int,
+    n_docs: int,
+    batch_size: int = 1000,
+    hot_pct: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Portable SPARSE change-event tail: the portable log with each
+    payload column independently withheld on ~1/3 of non-delete events
+    (null = "column unchanged" under the partial-update / aggregation
+    merge engines, cdc/partial.py + cdc/aggregate.py). When all three
+    columns would be withheld, tokens is kept so every event still says
+    something. Pure f(lsn) via h64 — sparse_event_log_sql is the
+    bit-identical DuckDB twin."""
+    ev = gen_event_log_portable(
+        spark, n_events, n_docs, batch_size, hot_pct, partitions
+    )
+    ls = F.col("lsn").cast("string")
+    kt = h64(ls, salt="sp_tok") % 3 != 0
+    kn = h64(ls, salt="sp_ntok") % 3 != 0
+    ks = h64(ls, salt="sp_src") % 3 != 0
+    return ev.select(
+        "lsn",
+        "batch_id",
+        "op",
+        "doc_id",
+        F.when(kt | (~kn & ~ks), F.col("tokens")).alias("tokens"),
+        F.when(kn, F.col("n_tok")).alias("n_tok"),
+        F.when(ks, F.col("source")).alias("source"),
+    )
+
+
+def sparse_event_log_sql(
+    n_events: int, n_docs: int, batch_size: int = 1000, hot_pct: int = 0
+) -> str:
+    """DuckDB CTE body producing the IDENTICAL sparse event log."""
+    ls = "CAST(lsn AS VARCHAR)"
+    kt = f"({h64_sql(ls, salt='sp_tok')} % 3 != 0)"
+    kn = f"({h64_sql(ls, salt='sp_ntok')} % 3 != 0)"
+    ks = f"({h64_sql(ls, salt='sp_src')} % 3 != 0)"
+    return f"""
+    SELECT lsn, batch_id, op, doc_id,
+      CASE WHEN {kt} OR (NOT {kn} AND NOT {ks}) THEN tokens END AS tokens,
+      CASE WHEN {kn} THEN n_tok END AS n_tok,
+      CASE WHEN {ks} THEN source END AS source
+    FROM ({portable_event_log_sql(n_events, n_docs, batch_size, hot_pct)})
+    """
