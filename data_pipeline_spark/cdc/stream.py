@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from ..icebox.table import IceboxTable
+from .aggregate import apply_batch_agg
 from .apply import apply_batch
+from .partial import apply_batch_partial
 
 
 def run_stream(
@@ -41,6 +43,8 @@ def run_stream(
     dedup_text_col: str = "tokens",
     dedup_compact_segments: int | None = None,
     materialized_views=None,
+    merge_mode: str = "row",
+    agg_specs: dict[str, str] | None = None,
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
@@ -76,6 +80,20 @@ def run_stream(
     compact_if_needed) — the index twin of compact_ratio; runs after
     the epoch's index commit, moves no logical data, crash-safe.
 
+    merge_mode: which merge engine folds each epoch into the table —
+    "row" (full-row LWW, apply_batch — order-independent: a late-arriving
+    stale epoch loses by LSN, so file-source epoch reordering is safe),
+    "partial" (column-level LWW for sparse feeds, apply_batch_partial) or
+    "aggregate" (per-column fold specs via agg_specs, apply_batch_agg).
+    The partial/aggregate engines store ONE LSN watermark per row, so
+    they require epochs to arrive in LSN order — true of real binlog
+    transports (Kafka partition order, Debezium), NOT guaranteed by the
+    parquet file source when a trigger splits a multi-file backlog;
+    feed them one file per commit-ordered batch (or any source whose
+    arrival order is the log order). All three modes share the same
+    exactly-once tag contract, so checkpoint replay is a table no-op in
+    any mode.
+
     materialized_views: materialize.MaterializedAggregate instances to
     fold forward after each epoch's table commit. Each refresh is
     independently exactly-once (the delta-apply is tagged in the VIEW's
@@ -87,16 +105,39 @@ def run_stream(
     point.
     """
 
+    if merge_mode not in ("row", "partial", "aggregate"):
+        raise ValueError(f"unknown merge_mode {merge_mode!r}")
+    if merge_mode == "aggregate" and not agg_specs:
+        raise ValueError("merge_mode='aggregate' requires agg_specs")
+
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         table = IceboxTable.load(spark, table_root)
-        table = apply_batch(
-            table,
-            batch_df,
-            batch_id=epoch_id,
-            n_salts=n_salts,
-            tag_prefix=f"stream:{query_name}",
-            merge_strategy=merge_strategy,
-        )
+        if merge_mode == "partial":
+            table = apply_batch_partial(
+                table,
+                batch_df,
+                batch_id=epoch_id,
+                tag_prefix=f"stream:{query_name}",
+                merge_strategy=merge_strategy,
+            )
+        elif merge_mode == "aggregate":
+            table = apply_batch_agg(
+                table,
+                batch_df,
+                batch_id=epoch_id,
+                specs=agg_specs,
+                tag_prefix=f"stream:{query_name}",
+                merge_strategy=merge_strategy,
+            )
+        else:
+            table = apply_batch(
+                table,
+                batch_df,
+                batch_id=epoch_id,
+                n_salts=n_salts,
+                tag_prefix=f"stream:{query_name}",
+                merge_strategy=merge_strategy,
+            )
         if dedup_index is not None:
             import pyspark.sql.functions as F
 
