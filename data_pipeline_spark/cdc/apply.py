@@ -79,7 +79,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-from ..icebox.table import INTERNAL_FIELDS, IceboxTable
+from ..icebox.table import (
+    INTERNAL_FIELDS,
+    IceboxTable,
+    key_bloom_agg_exprs,
+    key_bloom_prep,
+    pack_key_blooms,
+)
 
 OP_RANK = {"insert": 0, "update": 1, "upsert": 2, "delete": 3}
 
@@ -467,8 +473,9 @@ def _apply_delta_fused(
             ]
         )
         stats = (
-            table.spark.read.schema(stats_schema)
-            .parquet(snap_abs)
+            key_bloom_prep(
+                table.spark.read.schema(stats_schema).parquet(snap_abs), key
+            )
             .groupBy("_b")
             .agg(
                 F.sum("_n_ev").alias("events_applied"),
@@ -478,10 +485,12 @@ def _apply_delta_fused(
                 F.sum(
                     F.coalesce(F.col("_tombstone"), F.lit(False)).cast("long")
                 ).alias("n_dels"),
-                # per-bucket key bounds → manifest file statistics: keyed
-                # reads skip this whole delta when no probe fits the range
+                # per-bucket key bounds + key bloom → manifest file
+                # statistics: keyed reads skip this whole delta when no
+                # probe fits the range / the key set
                 F.min(key).alias("_kmin"),
                 F.max(key).alias("_kmax"),
+                *key_bloom_agg_exprs(),
             )
             .collect()
         )
@@ -519,6 +528,7 @@ def _apply_delta_fused(
             snap_rel,
             bucket_rows,
             key_bounds=key_bounds,
+            key_blooms=pack_key_blooms(stats),
             tag=tag,
             lineage=lineage,
             summary={

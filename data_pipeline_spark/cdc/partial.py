@@ -44,7 +44,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..icebox.table import IceboxTable
+from ..icebox.table import (
+    IceboxTable,
+    key_bloom_agg_exprs,
+    key_bloom_prep,
+    pack_key_blooms,
+)
 from .apply import (
     _bad_event_pred,
     _merged_schema,
@@ -199,7 +204,8 @@ def _apply_columnar(
     )
     try:
         stats = (
-            folded.groupBy("_b")
+            key_bloom_prep(folded, key)
+            .groupBy("_b")
             .agg(
                 F.sum("_n_ev").alias("events_applied"),
                 F.max("_wm").alias("lsn_watermark"),
@@ -208,6 +214,7 @@ def _apply_columnar(
                 F.sum((~F.col("_live")).cast("long")).alias("n_dels"),
                 F.min(key).alias("_kmin"),
                 F.max(key).alias("_kmax"),
+                *key_bloom_agg_exprs(),
             )
             .collect()
         )
@@ -308,6 +315,7 @@ def _apply_columnar(
                 lineage=lineage,
                 summary=summary,
                 key_bounds=key_bounds,
+                key_blooms=pack_key_blooms(stats),
                 retry_on_conflict=retry_on_conflict,
             )
         return table.commit_rewrite(

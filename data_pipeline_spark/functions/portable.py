@@ -40,6 +40,17 @@ def h64_sql(expr: str, salt: str | None = None) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def h64_py(s: str, salt: str | None = None) -> int:
+    """Driver-side Python twin of h64 — identical value for the same
+    string input (Spark's cast-to-string of int/bigint equals str());
+    lets the driver test manifest bloom filters with zero Spark jobs."""
+    import hashlib
+
+    if salt is not None:
+        s = f"{salt}:{s}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 # ------------------------------------------------------------ shingles
 # character k-grams of a string, position order, duplicates kept.
 # Guard: Spark's sequence(1,0) DESCENDS ([1,0]); emit [] for short strings.

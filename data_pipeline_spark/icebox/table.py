@@ -60,6 +60,108 @@ INTERNAL_FIELDS = [
 ]
 INTERNAL_NAMES = [f.name for f in INTERNAL_FIELDS]
 
+# ------------------------------------------------------- key blooms
+# Per-(delta, bucket) key bloom filters in the manifest — the Iceberg
+# puffin-blob / parquet-bloom analog, held at the METADATA level so a
+# keyed read skips whole delta commits with zero file opens. Key bounds
+# (min/max) already skip by range, but uniformly-hashed string keys
+# (doc_000123…) span the whole range after a handful of rows, so bounds
+# stop helping exactly when deltas accumulate; the bloom keeps skipping.
+# 2048 bits / 2 hashes ≈ 4.4% false positives at 500 keys per (delta,
+# bucket), 344 base64 chars of manifest per entry. Hashes derive from
+# the portable h64 (md5 of the key's string form), so the driver probes
+# with hashlib — no Spark job. Pruning is an optimization, never a
+# correctness dependency: absent/undecodable blooms, or key types whose
+# Spark string cast may differ from str() (floats, dates), degrade to
+# "might contain".
+BLOOM_BITS = 2048
+BLOOM_WORDS = BLOOM_BITS // 64
+_BLOOM_SALT = "kb"
+
+
+def key_bloom_prep(df: DataFrame, key: str) -> DataFrame:
+    """Stage the two bloom bit positions of `key` as real columns
+    (_kp1, _kp2) so the 32 per-word aggregates share ONE md5 per row
+    (expression inlining would re-hash per aggregate — the SPARK-36718
+    staging rule)."""
+    from ..functions.portable import h64
+
+    h = h64(F.col(key).cast("string"), salt=_BLOOM_SALT)
+    return df.withColumn("_kp1", F.pmod(h, F.lit(BLOOM_BITS))).withColumn(
+        "_kp2", F.pmod(F.shiftright(h, 11), F.lit(BLOOM_BITS))
+    )
+
+
+def key_bloom_agg_exprs() -> list:
+    """32 bit_or aggregate columns (_kb0.._kb31) building the per-group
+    bloom bitset from _kp1/_kp2 — rides whatever stats aggregate the
+    caller already runs (no extra pass, no extra shuffle)."""
+    return [
+        F.bit_or(
+            F.expr(
+                f"coalesce(case when shiftright(_kp1, 6) = {w} then "
+                f"shiftleft(1L, cast(_kp1 % 64 as int)) end, 0L) | "
+                f"coalesce(case when shiftright(_kp2, 6) = {w} then "
+                f"shiftleft(1L, cast(_kp2 % 64 as int)) end, 0L)"
+            )
+        ).alias(f"_kb{w}")
+        for w in range(BLOOM_WORDS)
+    ]
+
+
+def pack_key_blooms(stats_rows) -> dict:
+    """{bucket: base64 bitset} from stats rows carrying _b and
+    _kb0.._kb31; rows without the columns are skipped (callers that
+    don't compute blooms lose only the optimization)."""
+    import base64
+    import struct
+
+    out = {}
+    for r in stats_rows:
+        try:
+            words = [r[f"_kb{w}"] for w in range(BLOOM_WORDS)]
+        except (KeyError, ValueError):
+            continue
+        if any(w is None for w in words):
+            continue
+        out[int(r["_b"])] = base64.b64encode(
+            struct.pack(f"<{BLOOM_WORDS}q", *words)
+        ).decode("ascii")
+    return out
+
+
+def _bloom_positions(keys) -> list[tuple[int, int]] | None:
+    """Bit positions for each probe key, or None when the key values
+    are not safely stringable the same way Spark casts them (then the
+    bloom must not be consulted)."""
+    from ..functions.portable import h64_py
+
+    pos = []
+    for k in keys:
+        if not isinstance(k, (str, int)) or isinstance(k, bool):
+            return None
+        h = h64_py(str(k), salt=_BLOOM_SALT)
+        pos.append((h % BLOOM_BITS, (h >> 11) % BLOOM_BITS))
+    return pos
+
+
+def bloom_might_contain(b64: str | None, positions) -> bool:
+    """Conservative membership: True unless EVERY probe key has at
+    least one unset bit."""
+    import base64
+    import struct
+
+    if b64 is None or positions is None:
+        return True
+    try:
+        words = struct.unpack(f"<{BLOOM_WORDS}q", base64.b64decode(b64))
+    except Exception:
+        return True
+    for p1, p2 in positions:
+        if (words[p1 >> 6] >> (p1 & 63)) & 1 and (words[p2 >> 6] >> (p2 & 63)) & 1:
+            return True
+    return False
+
 
 class SchemaEvolutionError(ValueError):
     pass
@@ -271,32 +373,15 @@ class IceboxTable:
         if wanted is not None:
             entries = {b: e for b, e in entries.items() if b in wanted}
 
-        def _bounds_hit(bounds) -> bool:
-            """Can any probed key fall inside [min, max]? Conservative:
-            malformed/missing bounds or uncomparable types → True."""
-            if keys is None or not bounds:
-                return True
-            try:
-                lo, hi = bounds
-                return any(lo <= k <= hi for k in keys)
-            except TypeError:
-                return True
-
         # which wanted buckets have live delta rows (merge-on-read)?
-        # A (delta, bucket) whose manifest key bounds exclude every probed
-        # key contributes nothing — drop it here, driver-side; a bucket
-        # whose EVERY delta is excluded needs no LWW aggregate at all.
+        # A (delta, bucket) whose manifest key bounds OR key bloom
+        # exclude every probed key contributes nothing — drop it here,
+        # driver-side with zero file opens; a bucket whose EVERY delta
+        # is excluded needs no LWW aggregate at all.
         delta_entries = self.manifest.get("deltas") or []
-        delta_live: list[set[str]] = []
+        delta_live = self.prune_delta_buckets(keys, wanted)
         mor_buckets: set[str] = set()
-        for d in delta_entries:
-            live = set(d["bucket_rows"])
-            if wanted is not None:
-                live &= wanted
-            if keys is not None:
-                kb = d.get("key_bounds") or {}
-                live = {b for b in live if _bounds_hit(kb.get(b))}
-            delta_live.append(live)
+        for live in delta_live:
             mor_buckets |= live
 
         def _read_group(sid: str, paths: list[str], with_b: bool) -> DataFrame:
@@ -372,6 +457,44 @@ class IceboxTable:
         return out.filter(~F.coalesce(F.col("_tombstone"), F.lit(False))).drop(
             *INTERNAL_NAMES
         )
+
+    def prune_delta_buckets(
+        self, keys=None, wanted: set[str] | None = None
+    ) -> list[set[str]]:
+        """Driver-side manifest-statistics pruning (zero file opens):
+        for each delta entry in commit order, the set of bucket ids that
+        can still hold any probed key — buckets excluded by the entry's
+        key bounds (range) or key bloom (set membership) are dropped.
+        Conservative everywhere: missing/malformed stats, uncomparable
+        bound types, or probe keys the bloom can't hash portably all
+        degrade to 'might contain'."""
+
+        def _bounds_hit(bounds) -> bool:
+            if keys is None or not bounds:
+                return True
+            try:
+                lo, hi = bounds
+                return any(lo <= k <= hi for k in keys)
+            except TypeError:
+                return True
+
+        probe_pos = _bloom_positions(keys) if keys is not None else None
+        out: list[set[str]] = []
+        for d in self.manifest.get("deltas") or []:
+            live = set(d["bucket_rows"])
+            if wanted is not None:
+                live &= wanted
+            if keys is not None:
+                kb = d.get("key_bounds") or {}
+                blooms = d.get("key_blooms") or {}
+                live = {
+                    b
+                    for b in live
+                    if _bounds_hit(kb.get(b))
+                    and bloom_might_contain(blooms.get(b), probe_pos)
+                }
+            out.append(live)
+        return out
 
     def lookup(self, keys: list) -> DataFrame:
         """Point read: live rows for the given keys, touching only their
@@ -527,12 +650,14 @@ class IceboxTable:
                 }
                 if remaining:
                     nd = {**d, "bucket_rows": remaining}
-                    if "key_bounds" in nd:  # bounds travel with their buckets
-                        kb = {b: v for b, v in nd["key_bounds"].items() if b in remaining}
-                        if kb:
-                            nd["key_bounds"] = kb
-                        else:
-                            nd.pop("key_bounds")
+                    # bounds and blooms travel with their buckets
+                    for stat in ("key_bounds", "key_blooms"):
+                        if stat in nd:
+                            kb = {b: v for b, v in nd[stat].items() if b in remaining}
+                            if kb:
+                                nd[stat] = kb
+                            else:
+                                nd.pop(stat)
                     new_deltas.append(nd)
 
             manifest = {
@@ -609,6 +734,7 @@ class IceboxTable:
         lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
         key_bounds: dict | None = None,
+        key_blooms: dict | None = None,
         retry_on_conflict: int = 0,
     ) -> "IceboxTable":
         """Publish a delta file set previously written by stage_delta —
@@ -621,6 +747,10 @@ class IceboxTable:
         this delta entirely when no probed key can fall in range. Only
         JSON-safe scalar bounds are recorded; anything else is dropped
         (pruning is an optimization, never a correctness dependency).
+
+        key_blooms: optional {bucket: base64 bloom bitset} over the
+        delta's keys (pack_key_blooms) — skips deltas whose key RANGE
+        overlaps the probe but whose key SET provably lacks it.
 
         retry_on_conflict: optimistic-concurrency rebases (Iceberg's
         fast-append analog). A delta append COMMUTES with other merge
@@ -653,6 +783,10 @@ class IceboxTable:
             }
             if safe:
                 entry["key_bounds"] = safe
+        if key_blooms:
+            entry["key_blooms"] = {
+                str(b): v for b, v in key_blooms.items() if isinstance(v, str)
+            }
         lineage_rel = None
         if lineage is not None:
             if isinstance(lineage, DataFrame):
@@ -695,6 +829,7 @@ class IceboxTable:
         lineage: "DataFrame | list[tuple] | None" = None,
         summary: dict | None = None,
         key_bounds: dict | None = None,
+        key_blooms: dict | None = None,
         retry_on_conflict: int = 0,
     ) -> "IceboxTable":
         """Merge-on-read commit: append ONE compact delta file set instead
@@ -744,7 +879,8 @@ class IceboxTable:
         )
         return self.commit_staged_delta(
             snap_rel, bucket_rows, tag=tag, lineage=lineage, summary=summary,
-            key_bounds=key_bounds, retry_on_conflict=retry_on_conflict,
+            key_bounds=key_bounds, key_blooms=key_blooms,
+            retry_on_conflict=retry_on_conflict,
         )
 
     def compact_if_needed(
