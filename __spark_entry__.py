@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 )
 
 from data_pipeline_spark.cdc.apply import apply_batch, lww_dedup, replay_log
+from data_pipeline_spark.cdc.delete import delete_where, purge_keys
 from data_pipeline_spark.cdc.aggregate import replay_log_agg
 from data_pipeline_spark.cdc.partial import replay_log_partial
 from data_pipeline_spark.gen import (
@@ -177,6 +178,45 @@ def _sql_cdc_mor_replay() -> str:
     # deliberately the SAME contract as the CoW replay: identical log,
     # identical final state
     return _sql_cdc_replay_final_state()
+
+
+_PURGE_KEYS = [f"doc_{i:06d}" for i in range(0, 300, 50)]
+
+
+def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-band row removal through the CDC spine (cdc/delete.py):
+    replay the standard 3000-event log, then (1) delete_where a
+    predicate slice (an audit purge: every doc whose n_tok is divisible
+    by 7) and (2) purge_keys a fixed GDPR key list, then compact. Both
+    removals ride the normal delta path (exactly-once tags, change-feed
+    deletes, O(matched) write bytes); the oracle replays the same log
+    and subtracts both sets in SQL. Own table root — the shared
+    _replayed_table cache stays immutable."""
+    key = (3000, 300, 1000, 20, "delete")
+    if key in _REPLAY_CACHE:
+        table = IceboxTable.load(spark, _REPLAY_CACHE[key])
+    else:
+        root = os.path.join(tempfile.mkdtemp(prefix="icebox_del_"), "t")
+        table = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=16)
+        ev = gen_event_log_portable(spark, 3000, 300, batch_size=1000, hot_pct=20)
+        table = replay_log(table, ev, n_salts=8, merge_strategy="delta")
+        table = delete_where(table, "n_tok % 7 = 0", op_id="audit1")
+        table = purge_keys(table, _PURGE_KEYS, op_id="gdpr1")
+        table = table.compact_if_needed(ratio=0.0)
+        _REPLAY_CACHE[key] = root
+    return _final_state_csv(table)
+
+
+def _sql_cdc_delete_where() -> str:
+    keys = ", ".join(f"'{k}'" for k in _PURGE_KEYS)
+    return f"""
+WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
+FROM w WHERE rn = 1 AND op <> 'delete'
+  AND NOT (n_tok % 7 = 0)
+  AND doc_id NOT IN ({keys})
+"""
 
 
 def _final_state_csv_nullsafe(table: IceboxTable) -> DataFrame:
@@ -1076,21 +1116,28 @@ GROUP BY v.vec_id
 
 
 def q_text_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID + quality scoring over `documents`, joined on doc_id
-    into one per-doc gate frame (folded into a single registry row —
-    both operators keep a driver-checked oracle within the driver's
-    50-query correctness cap; both are narrow per-row computations, so
-    the join is the only exchange and broadcasts at audited sf)."""
+    """Language-ID + quality scoring + URL/domain hygiene over
+    `documents`, joined on doc_id into one per-doc gate frame (folded
+    into a single registry row — all three operators keep a
+    driver-checked oracle within the driver's 50-query correctness cap;
+    all are narrow per-row computations, so the joins are the only
+    exchanges and broadcast at audited sf)."""
     docs = _t(spark, sf_dir, "documents")
-    return T.lang_id(docs).join(T.quality_score(docs), "doc_id")
+    return (
+        T.lang_id(docs)
+        .join(T.quality_score(docs), "doc_id")
+        .join(q_text_url_gate(spark, sf_dir), "doc_id")
+    )
 
 
 def _sql_text_gates() -> str:
     return f"""
-WITH l AS ({_sql_text_lang_id()}), q AS ({_sql_text_quality()})
+WITH l AS ({_sql_text_lang_id()}), q AS ({_sql_text_quality()}),
+u AS ({_sql_text_url_gate()})
 SELECT l.doc_id AS doc_id, lang_pred, lang_score,
-       n_chars, n_words, mean_wlen, n_punct, stop_ratio, punct_ratio, quality
-FROM l JOIN q ON l.doc_id = q.doc_id
+       n_chars, n_words, mean_wlen, n_punct, stop_ratio, punct_ratio, quality,
+       n_urls, hosts, has_blocked_url
+FROM l JOIN q ON l.doc_id = q.doc_id JOIN u ON l.doc_id = u.doc_id
 """
 
 
@@ -1958,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_delete_where": q_cdc_delete_where,
         "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_lineage": q_cdc_lineage,
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -1990,7 +2038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_rarity": q_text_rarity,
-        "text_url_gate": q_text_url_gate,
         "text_pii_scrub": q_text_pii_scrub,
         "dedup_contamination": q_dedup_contamination,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -2019,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": _sql_cdc_replay_final_state(),
         "cdc_mor_replay": _sql_cdc_mor_replay(),
+        "cdc_delete_where": _sql_cdc_delete_where(),
         "cdc_point_lookup": _sql_cdc_point_lookup(),
         "cdc_lineage": _sql_cdc_lineage(),
         "cdc_schema_evolution": _sql_cdc_schema_evolution(),
@@ -2051,7 +2099,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _sql_text_fingerprint(),
         "text_repetition": _sql_text_repetition(),
         "text_rarity": _SQL_TEXT_RARITY,
-        "text_url_gate": _sql_text_url_gate(),
         "text_pii_scrub": _sql_text_pii_scrub(),
         "dedup_contamination": _sql_dedup_contamination(),
         "corpus_prep_pipeline": _sql_corpus_prep_pipeline(),

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 import pyspark.sql.functions as F
@@ -232,8 +233,22 @@ class IceboxTable:
         return t
 
     @staticmethod
-    def load(spark: SparkSession, root: str, snapshot_id: int | None = None) -> "IceboxTable":
+    def load(
+        spark: SparkSession,
+        root: str,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+    ) -> "IceboxTable":
         meta_dir = os.path.join(root, "metadata")
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            ref_path = os.path.join(meta_dir, "refs", ref)
+            try:
+                with open(ref_path) as f:
+                    snapshot_id = int(f.read().strip())
+            except FileNotFoundError:
+                raise ValueError(f"unknown ref {ref!r} for table {root}") from None
         if snapshot_id is None:
             with open(os.path.join(meta_dir, "CURRENT")) as f:
                 name = f.read().strip()
@@ -1169,6 +1184,75 @@ class IceboxTable:
             return self
         return self.split_buckets(factor=factor)
 
+    # ---------- named refs (Iceberg tag analog) ----------
+
+    def _refs_dir(self) -> str:
+        return os.path.join(self.root, "metadata", "refs")
+
+    def set_ref(
+        self, name: str, snapshot_id: int | None = None, overwrite: bool = False
+    ) -> None:
+        """Pin a NAME to a snapshot (default: this handle's) — the
+        Iceberg tag analog, the reproducibility primitive a training
+        lake needs: `set_ref("corpus-v3")` freezes the exact table
+        version a training run consumed; `load(root, ref="corpus-v3")`
+        reproduces it verbatim years of commits later, and
+        expire_snapshots never reclaims a ref'd snapshot's manifest or
+        data. Refs are names → snapshot ids, nothing more: the snapshot
+        chain stays strictly linear (sid = parent+1 is what the OCC
+        arbiter, crash roll-forward, and changes() all rely on), so
+        divergent BRANCH writes are deliberately not offered — fork by
+        creating a new table from a ref'd read instead.
+
+        Durability matches commits: content fsync'd, atomic rename,
+        refs-dir fsync. `overwrite=False` refuses to move an existing
+        ref (tags are immutable by default, like Iceberg's)."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+            raise ValueError(f"invalid ref name {name!r}")
+        sid = self.snapshot_id if snapshot_id is None else int(snapshot_id)
+        snap = os.path.join(self.root, "metadata", f"snap-{sid:08d}.json")
+        if not os.path.exists(snap):
+            raise ValueError(f"snapshot {sid} does not exist (expired?)")
+        refs_dir = self._refs_dir()
+        os.makedirs(refs_dir, exist_ok=True)
+        path = os.path.join(refs_dir, name)
+        if os.path.exists(path) and not overwrite:
+            raise ValueError(
+                f"ref {name!r} already points at snapshot "
+                f"{self.refs()[name]}; pass overwrite=True to move it"
+            )
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        _fsync_dir(refs_dir)
+
+    def refs(self) -> dict[str, int]:
+        """All named refs: {name: snapshot_id}."""
+        refs_dir = self._refs_dir()
+        if not os.path.isdir(refs_dir):
+            return {}
+        out = {}
+        for name in os.listdir(refs_dir):
+            if ".tmp-" in name:
+                continue
+            with open(os.path.join(refs_dir, name)) as f:
+                out[name] = int(f.read().strip())
+        return out
+
+    def drop_ref(self, name: str) -> bool:
+        """Remove a ref; returns False if it didn't exist. The snapshot
+        it pointed at becomes reclaimable by expire_snapshots again."""
+        path = os.path.join(self._refs_dir(), name)
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            return False
+        _fsync_dir(self._refs_dir())
+        return True
+
     def expire_snapshots(self, keep_last: int = 5) -> dict:
         """Iceberg-style maintenance: drop manifests older than the last
         `keep_last` snapshots and delete data directories no kept
@@ -1187,7 +1271,10 @@ class IceboxTable:
             for f in os.listdir(meta_dir)
             if f.startswith("snap-") and f.endswith(".json")
         )
-        keep_ids = set(snaps[-keep_last:]) | {self.snapshot_id}
+        # named refs pin their snapshots (and data) unconditionally
+        keep_ids = set(snaps[-keep_last:]) | {self.snapshot_id} | set(
+            self.refs().values()
+        )
         referenced: set[str] = set()
         for sid in keep_ids:
             with open(os.path.join(meta_dir, f"snap-{sid:08d}.json")) as f:

@@ -42,12 +42,18 @@ def register(
     name: str,
     snapshot_id: int | None = None,
     internal: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Expose the table (at its snapshot, or an older one) as a temp view
-    for spark.sql. Returns the registered DataFrame."""
+    """Expose the table (at its snapshot, an older one, or a named ref —
+    the `FOR VERSION AS OF 'tag-name'` form) as a temp view for
+    spark.sql. Returns the registered DataFrame."""
     t = table
-    if snapshot_id is not None and snapshot_id != table.snapshot_id:
-        t = IceboxTable.load(table.spark, table.root, snapshot_id=snapshot_id)
+    if ref is not None or (
+        snapshot_id is not None and snapshot_id != table.snapshot_id
+    ):
+        t = IceboxTable.load(
+            table.spark, table.root, snapshot_id=snapshot_id, ref=ref
+        )
     df = t.read(internal=internal)
     df.createOrReplaceTempView(name)
     return df
