@@ -184,6 +184,59 @@ _WIDEN_OK = {
 }
 
 
+def _field_id(f: StructField) -> int | None:
+    try:
+        return f.metadata.get("field_id") if f.metadata else None
+    except AttributeError:
+        return None
+
+
+def _stamp_field_ids(schema: StructType, start: int = 0) -> StructType:
+    """Assign stable field ids 0..n-1 (Iceberg's column-id scheme) to a
+    schema that lacks them; existing ids are preserved."""
+    fields, nxt = [], start
+    for f in schema.fields:
+        fid = _field_id(f)
+        if fid is None:
+            fid, nxt = nxt, nxt + 1
+        else:
+            nxt = max(nxt, fid + 1)
+        fields.append(
+            StructField(f.name, f.dataType, f.nullable,
+                        {**(f.metadata or {}), "field_id": fid})
+        )
+    return StructType(fields)
+
+
+def _rename_by_field_ids(
+    df: DataFrame, src_schema: StructType, tgt_schema: StructType
+) -> DataFrame:
+    """Project a frame read under an OLDER schema generation into the
+    TARGET generation's column names by stable field id — the Iceberg
+    name-mapping read: a renamed column keeps its id (values travel to
+    the new name), a dropped id is projected away, and a field without
+    an id (legacy generation) passes through by name (pre-rename tables
+    only ever added/widened, so by-name is exact for them). Columns not
+    in src_schema (internal merge metadata, _b) pass through untouched."""
+    tgt_by_id = {
+        _field_id(f): f.name for f in tgt_schema.fields
+        if _field_id(f) is not None
+    }
+    src_names = {f.name for f in src_schema.fields}
+    cols = []
+    for f in src_schema.fields:
+        fid = _field_id(f)
+        if fid is None:
+            cols.append(F.col(f.name))
+            continue
+        new = tgt_by_id.get(fid)
+        if new is None:
+            continue  # dropped column: project away
+        cols.append(F.col(f.name).alias(new) if new != f.name else F.col(f.name))
+    extra = [F.col(c) for c in df.columns if c not in src_names]
+    return df.select(*cols, *extra)
+
+
 def _is_widening(old, new) -> bool:
     return (old, new) in _WIDEN_OK
 
@@ -214,6 +267,7 @@ class IceboxTable:
         meta_dir = os.path.join(root, "metadata")
         os.makedirs(meta_dir, exist_ok=False)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        schema = _stamp_field_ids(schema)
         manifest = {
             "snapshot_id": 0,
             "parent_id": None,
@@ -223,6 +277,7 @@ class IceboxTable:
             "n_buckets": n_buckets,
             "current_schema_id": 0,
             "schemas": {"0": schema.json()},
+            "last_field_id": len(schema.fields) - 1,
             "buckets": {},
             "deltas": [],
             "lineage_paths": [],
@@ -328,15 +383,23 @@ class IceboxTable:
         cur_by_name = {f.name: f for f in cur.fields}
         merged_fields = list(cur.fields)
         changed = False
+        nxt = self._next_field_id()
         for f in new_schema.fields:
             old = cur_by_name.get(f.name)
             if old is None:
-                merged_fields.append(StructField(f.name, f.dataType, True))
+                merged_fields.append(
+                    StructField(f.name, f.dataType, True, {"field_id": nxt})
+                )
+                nxt += 1
                 changed = True
             elif old.dataType != f.dataType:
                 if _is_widening(old.dataType, f.dataType):
                     i = [x.name for x in merged_fields].index(f.name)
-                    merged_fields[i] = StructField(f.name, f.dataType, True)
+                    # widen in place: the field KEEPS its id (and any
+                    # other metadata) — widening is not a new column
+                    merged_fields[i] = StructField(
+                        f.name, f.dataType, True, old.metadata
+                    )
                     changed = True
                 elif _is_widening(f.dataType, old.dataType):
                     pass  # incoming is narrower → current schema already covers it
@@ -349,7 +412,130 @@ class IceboxTable:
         new_id = max(int(k) for k in self.manifest["schemas"]) + 1
         self.manifest["schemas"][str(new_id)] = StructType(merged_fields).json()
         self.manifest["current_schema_id"] = new_id
+        self.manifest["last_field_id"] = nxt - 1
         # schema change is metadata-only; it rides along with the next commit
+
+    def _next_field_id(self) -> int:
+        """Monotonic field-id allocator: the high-water mark over the
+        manifest counter AND every id stamped in any schema generation
+        (ids are never reused, even after drop_column — a reused id
+        would alias an old file's column into the wrong current one)."""
+        hi = self.manifest.get("last_field_id", -1)
+        for sj in self.manifest["schemas"].values():
+            for f in StructType.fromJson(json.loads(sj)).fields:
+                fid = _field_id(f)
+                if fid is not None:
+                    hi = max(hi, fid)
+        return hi + 1
+
+    def _ensure_field_ids(self) -> None:
+        """Lazily backfill field ids BY NAME across every schema
+        generation of a pre-field-id table (legacy generations only ever
+        added/widened columns, so same-name ⇒ same column and by-name
+        backfill is exact). No-op when the current generation has ids."""
+        schemas = {
+            sid: StructType.fromJson(json.loads(sj))
+            for sid, sj in self.manifest["schemas"].items()
+        }
+        if all(
+            _field_id(f) is not None
+            for sch in schemas.values()
+            for f in sch.fields
+        ):
+            return
+        # pre-scan: names already bound to a stamped id anywhere keep it;
+        # fresh ids start above every stamped id (a partially-stamped
+        # table — legacy create + new-code evolve — must not collide)
+        by_name: dict[str, int] = {}
+        hi = self.manifest.get("last_field_id", -1)
+        for sch in schemas.values():
+            for f in sch.fields:
+                fid = _field_id(f)
+                if fid is not None:
+                    by_name.setdefault(f.name, fid)
+                    hi = max(hi, fid)
+        nxt = hi + 1
+        new_schemas = {}
+        for sid in sorted(schemas, key=int):
+            fields = []
+            for f in schemas[sid].fields:
+                fid = _field_id(f)
+                if fid is None:
+                    fid = by_name.get(f.name)
+                if fid is None:
+                    fid, nxt = nxt, nxt + 1
+                by_name.setdefault(f.name, fid)
+                fields.append(
+                    StructField(f.name, f.dataType, f.nullable,
+                                {**(f.metadata or {}), "field_id": fid})
+                )
+            new_schemas[sid] = StructType(fields).json()
+        self.manifest["schemas"] = new_schemas
+        self.manifest["last_field_id"] = nxt - 1
+
+    def _commit_schema_change(self, new_fields: list, summary: dict) -> "IceboxTable":
+        """Metadata-only DDL commit (rename/drop): new schema generation,
+        new snapshot, zero data movement — like rollback/split it needs
+        no exactly-once tag and is safe to re-run after a crash."""
+        new_id = max(int(k) for k in self.manifest["schemas"]) + 1
+        manifest = {
+            **self.manifest,
+            "snapshot_id": self.snapshot_id + 1,
+            "parent_id": self.snapshot_id,
+            "tag": None,
+            "schemas": {
+                **self.manifest["schemas"],
+                str(new_id): StructType(new_fields).json(),
+            },
+            "current_schema_id": new_id,
+            "summary": summary,
+        }
+        self._write_manifest(manifest)
+        return IceboxTable(self.spark, self.root, manifest)
+
+    def rename_column(self, old: str, new: str) -> "IceboxTable":
+        """Rename a column WITHOUT rewriting any data file (Iceberg
+        ALTER TABLE RENAME COLUMN): the field keeps its stable id, so
+        files written under any older generation keep resolving to it by
+        id at read time. The merge key cannot be renamed (bucket layout,
+        manifest stats, and the CDC contract all key on it). Incoming
+        CDC batches must use the NEW name afterwards — an event column
+        with the OLD name would be a fresh column-add (by design: that
+        is exactly what a renamed upstream looks like to a by-name
+        transport, and the engine must not guess)."""
+        if old == self.key:
+            raise SchemaEvolutionError(f"cannot rename the merge key {old!r}")
+        names = [f.name for f in self.schema.fields]
+        if old not in names:
+            raise SchemaEvolutionError(f"no such column {old!r}")
+        if new in names or new in INTERNAL_NAMES or new == "_b":
+            raise SchemaEvolutionError(f"column {new!r} already exists/reserved")
+        self._ensure_field_ids()
+        fields = [
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old else f
+            for f in self.schema.fields
+        ]
+        return self._commit_schema_change(
+            fields, {"operation": "rename_column", "from": old, "to": new}
+        )
+
+    def drop_column(self, name: str) -> "IceboxTable":
+        """Drop a column WITHOUT rewriting any data file: the current
+        generation stops listing its field id, so every reader projects
+        it away at scan time; old files keep the bytes (time travel to a
+        pre-drop snapshot still sees them), and the id is never reused
+        (_next_field_id). The merge key cannot be dropped."""
+        if name == self.key:
+            raise SchemaEvolutionError(f"cannot drop the merge key {name!r}")
+        names = [f.name for f in self.schema.fields]
+        if name not in names:
+            raise SchemaEvolutionError(f"no such column {name!r}")
+        self._ensure_field_ids()
+        fields = [f for f in self.schema.fields if f.name != name]
+        return self._commit_schema_change(
+            fields, {"operation": "drop_column", "column": name}
+        )
 
     # ---------- read ----------
 
@@ -405,6 +591,11 @@ class IceboxTable:
             if with_b:
                 fields = [StructField("_b", IntegerType()), *fields]
             df = self.spark.read.schema(StructType(fields)).parquet(*paths)
+            if sid != str(self.manifest["current_schema_id"]):
+                # field-id name mapping: renamed columns resolve to their
+                # current name, dropped ids are projected away; _conform
+                # below then only backfills/casts (by now-current names)
+                df = _rename_by_field_ids(df, logical, cur_schema)
             return df
 
         # clean buckets: base files only, grouped by schema generation
@@ -1036,7 +1227,10 @@ class IceboxTable:
                 m = json.load(f)
             s = m.get("summary") or {}
             op = s.get("operation")
-            if op == "compact":
+            if op in ("compact", "rename_column", "drop_column"):
+                # compaction moves no logical rows; rename/drop change
+                # the SCHEMA only — the feed's output is B-schema and
+                # pre-images translate by field id, so no rows to emit
                 continue
             if op == "split_buckets":
                 prune_buckets = False
@@ -1063,9 +1257,12 @@ class IceboxTable:
         a_state = old.read(buckets=bsel)
         b_state = src.read(buckets=bsel)
 
-        # conform the A side to B's schema (typed nulls for added
-        # columns) so the payload structs compare field-for-field
+        # conform the A side to B's schema: field-id translation first
+        # (renames map values to the new name, dropped columns project
+        # away), then typed-null backfill for added columns — the payload
+        # structs then compare field-for-field
         tgt = src.schema
+        a_state = _rename_by_field_ids(a_state, old.schema, tgt)
         a_state = _conform(a_state, tgt)
 
         key = self.key
@@ -1352,6 +1549,11 @@ class IceboxTable:
                 )
         fresh.manifest["schemas"] = schemas
         fresh.manifest["current_schema_id"] = cur
+        # field-id allocation is monotonic across BOTH racers
+        fresh.manifest["last_field_id"] = max(
+            stale_manifest.get("last_field_id", -1),
+            fresh.manifest.get("last_field_id", -1),
+        )
         return fresh
 
     def _intervening_touched(self, from_sid: int, to_sid: int) -> set[int]:
