@@ -375,9 +375,14 @@ FROM w GROUP BY batch_id
 
 
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch 0 arrives without `source` (column-add later) and with int32
-    n_tok; batch 1 carries `source` and int64 n_tok (type widen)."""
-    ev = gen_event_log_portable(spark, 2000, 200, batch_size=1000, hot_pct=0)
+    """Full schema-evolution ladder in one replay: batch 0 arrives
+    without `source` (column-add later) and with int32 n_tok; batch 1
+    carries `source` and int64 n_tok (type widen); then the column is
+    RENAMED source→origin (metadata-only, stable field id — r4) and
+    batch 2 writes under the NEW name. The final read must surface
+    batch-1 values written as `source` under `origin` (field-id
+    translation across generations) merged with batch-2 `origin` rows."""
+    ev = gen_event_log_portable(spark, 3000, 200, batch_size=1000, hot_pct=0)
     schema = StructType([f for f in BASE_SCHEMA.fields if f.name != "source"])
     root = os.path.join(tempfile.mkdtemp(prefix="icebox_evo_"), "t")
     table = IceboxTable.create(spark, root, schema, n_buckets=16)
@@ -385,22 +390,25 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = ev.filter(F.col("batch_id") == 1).withColumn(
         "n_tok", F.col("n_tok").cast("long")
     )
+    b2 = ev.filter(F.col("batch_id") == 2).withColumnRenamed("source", "origin")
     table = apply_batch(table, b0, 0, n_salts=8)
     table = apply_batch(table, b1, 1, n_salts=8)
+    table = table.rename_column("source", "origin")
+    table = apply_batch(table, b2, 2, n_salts=8)
     return table.read().select(
         "doc_id",
         F.concat_ws(",", "tokens").alias("tokens_csv"),
         "n_tok",
-        "source",
+        "origin",
     )
 
 
 def _sql_cdc_schema_evolution() -> str:
     return f"""
-WITH ev AS ({portable_event_log_sql(2000, 200, 1000, 0)}),
+WITH ev AS ({portable_event_log_sql(3000, 200, 1000, 0)}),
 w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev)
 SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, CAST(n_tok AS BIGINT) AS n_tok,
-       CASE WHEN batch_id = 0 THEN NULL ELSE source END AS source
+       CASE WHEN batch_id = 0 THEN NULL ELSE source END AS origin
 FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
