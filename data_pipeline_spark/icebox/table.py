@@ -1381,6 +1381,143 @@ class IceboxTable:
             return self
         return self.split_buckets(factor=factor)
 
+    # ---------- metadata tables (Iceberg t$snapshots / t$files analog) ----------
+
+    def snapshots(self) -> DataFrame:
+        """The table's commit history as a DataFrame — Iceberg's
+        `t$snapshots` metadata table: one row per retained manifest with
+        id, parent, commit time, operation, summary JSON, and whether it
+        is the current snapshot / a ref target. Driver-side manifest
+        walk, O(#snapshots) metadata, no data-file access."""
+        meta_dir = os.path.join(self.root, "metadata")
+        ref_by_sid: dict[int, list[str]] = {}
+        for n, sid in self.refs().items():
+            ref_by_sid.setdefault(sid, []).append(n)
+        rows = []
+        for f in sorted(os.listdir(meta_dir)):
+            if not (f.startswith("snap-") and f.endswith(".json")):
+                continue
+            with open(os.path.join(meta_dir, f)) as fh:
+                m = json.load(fh)
+            s = m.get("summary") or {}
+            rows.append(
+                (
+                    int(m["snapshot_id"]),
+                    m.get("parent_id"),
+                    float(
+                        m.get("committed_at")
+                        or os.path.getmtime(os.path.join(meta_dir, f))
+                    ),
+                    s.get("operation"),
+                    json.dumps(s, sort_keys=True),
+                    m.get("tag"),
+                    int(m["snapshot_id"]) == self.snapshot_id,
+                    sorted(ref_by_sid.get(int(m["snapshot_id"]), [])),
+                )
+            )
+        schema = (
+            "snapshot_id long, parent_id long, committed_at double, "
+            "operation string, summary string, tag string, "
+            "is_current boolean, refs array<string>"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def files(self) -> DataFrame:
+        """Physical layout of THIS snapshot as a DataFrame — Iceberg's
+        `t$files`: one row per data file with bucket, kind (base/delta),
+        schema generation, manifest row count (bucket granularity), and
+        on-disk bytes. Driver-side os.walk of referenced dirs only."""
+        rows = []
+
+        def _dir_files(rel: str):
+            absd = os.path.join(self.root, rel)
+            if not os.path.isdir(absd):
+                return
+            for dirpath, _dirs, names in os.walk(absd):
+                for n in sorted(names):
+                    if n.endswith(".parquet"):
+                        p = os.path.join(dirpath, n)
+                        yield os.path.relpath(p, self.root), os.path.getsize(p)
+
+        for b, e in sorted(self.manifest["buckets"].items(), key=lambda kv: int(kv[0])):
+            if e.get("path") is None:
+                continue
+            for rel, size in _dir_files(e["path"]):
+                rows.append(
+                    (rel, "base", int(b), int(e.get("schema_id", 0)),
+                     int(e.get("rows", 0)), size)
+                )
+        for i, d in enumerate(self.manifest.get("deltas") or []):
+            live_rows = sum(int(n) for n in d["bucket_rows"].values())
+            for rel, size in _dir_files(d["path"]):
+                rows.append(
+                    (rel, f"delta-{i}", -1, int(d.get("schema_id", 0)),
+                     live_rows, size)
+                )
+        schema = (
+            "path string, kind string, bucket int, schema_id int, "
+            "manifest_rows long, bytes long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def validate(self, deep: bool = False) -> dict:
+        """Integrity check of THIS snapshot (maintenance tool, mutates
+        nothing): every referenced bucket/delta/lineage dir must exist
+        and hold parquet files; with deep=True, base-bucket footer row
+        counts (pyarrow, driver-side) are compared to the manifest's
+        counters. Returns {"ok": bool, "missing": [...], "mismatched":
+        [...], "orphan_dirs": [...]} — orphans are data/ dirs no retained
+        manifest references (reclaimable via expire_snapshots)."""
+        missing, mismatched = [], []
+
+        def _check_dir(rel: str) -> bool:
+            absd = os.path.join(self.root, rel)
+            if not os.path.isdir(absd):
+                missing.append(rel)
+                return False
+            return True
+
+        for b, e in self.manifest["buckets"].items():
+            if e.get("path") is None:
+                continue
+            if _check_dir(e["path"]) and deep:
+                actual = _parquet_rows(os.path.join(self.root, e["path"]))
+                if actual != e.get("rows", actual):
+                    mismatched.append(
+                        {"path": e["path"], "manifest": e.get("rows"),
+                         "actual": actual}
+                    )
+        for d in self.manifest.get("deltas") or []:
+            _check_dir(d["path"])
+        for p in self.manifest["lineage_paths"]:
+            if not os.path.exists(os.path.join(self.root, p)):
+                missing.append(p)
+        # orphans: data dirs referenced by NO retained manifest
+        meta_dir = os.path.join(self.root, "metadata")
+        referenced: set[str] = set()
+        for f in os.listdir(meta_dir):
+            if not (f.startswith("snap-") and f.endswith(".json")):
+                continue
+            with open(os.path.join(meta_dir, f)) as fh:
+                m = json.load(fh)
+            for e in m["buckets"].values():
+                if e.get("path") is not None:
+                    referenced.add(e["path"].split(os.sep)[1])
+            for d in m.get("deltas") or []:
+                referenced.add(d["path"].split(os.sep)[1])
+            for p in m["lineage_paths"]:
+                referenced.add(p.split(os.sep)[1])
+        data_dir = os.path.join(self.root, "data")
+        orphans = sorted(
+            d for d in os.listdir(data_dir) if d not in referenced
+        ) if os.path.isdir(data_dir) else []
+        return {
+            "ok": not missing and not mismatched,
+            "missing": missing,
+            "mismatched": mismatched,
+            "orphan_dirs": orphans,
+        }
+
     # ---------- named refs (Iceberg tag analog) ----------
 
     def _refs_dir(self) -> str:
@@ -1450,13 +1587,21 @@ class IceboxTable:
         _fsync_dir(self._refs_dir())
         return True
 
-    def expire_snapshots(self, keep_last: int = 5) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 5, older_than: float | None = None
+    ) -> dict:
         """Iceberg-style maintenance: drop manifests older than the last
         `keep_last` snapshots and delete data directories no kept
         manifest references (copy-on-write carries old dirs forward, so
         the reference set is the union over KEPT manifests, not just the
         current one). Tags survive — `committed_tags` is cumulative in
         every manifest, so exactly-once replay detection is unaffected.
+
+        `older_than` (epoch seconds) adds the age axis Iceberg retention
+        policies use: a snapshot newer than the cutoff is kept even
+        beyond keep_last (commit times from the manifest's committed_at,
+        mtime fallback for pre-timestamp manifests). Named refs pin
+        their snapshots unconditionally on both axes.
 
         Returns {"removed_dirs": n, "removed_manifests": m}.
         """
@@ -1472,6 +1617,15 @@ class IceboxTable:
         keep_ids = set(snaps[-keep_last:]) | {self.snapshot_id} | set(
             self.refs().values()
         )
+        if older_than is not None:
+            for sid in snaps:
+                if sid in keep_ids:
+                    continue
+                p = os.path.join(meta_dir, f"snap-{sid:08d}.json")
+                with open(p) as f:
+                    ts = json.load(f).get("committed_at")
+                if float(ts if ts is not None else os.path.getmtime(p)) >= older_than:
+                    keep_ids.add(sid)
         referenced: set[str] = set()
         for sid in keep_ids:
             with open(os.path.join(meta_dir, f"snap-{sid:08d}.json")) as f:
@@ -1607,6 +1761,11 @@ class IceboxTable:
         writer wins, the other gets ConcurrentCommitError instead of
         silently clobbering the winner's manifest (the _check_current at
         commit start is advisory only; this is the arbiter)."""
+        import time as _time
+
+        # overwrite, not setdefault: child manifests built by spreading
+        # the parent's dict must not inherit the parent's commit time
+        manifest["committed_at"] = _time.time()
         meta_dir = os.path.join(self.root, "metadata")
         name = f"snap-{manifest['snapshot_id']:08d}.json"
         path = os.path.join(meta_dir, name)

@@ -79,6 +79,15 @@ def register_changes(
     return df
 
 
+def register_metadata(table: IceboxTable, name: str) -> None:
+    """Iceberg metadata-table surface: registers `{name}__snapshots` and
+    `{name}__files` temp views (the `t$snapshots` / `t$files` analog —
+    `$` is not valid in Spark view names) for SQL over commit history
+    and physical layout. Snapshot-pinned like register()."""
+    table.snapshots().createOrReplaceTempView(f"{name}__snapshots")
+    table.files().createOrReplaceTempView(f"{name}__files")
+
+
 def merge_into(
     table: IceboxTable,
     spark: SparkSession,

@@ -1,0 +1,118 @@
+"""Metadata tables (snapshots()/files(), the Iceberg t$snapshots /
+t$files analog), commit timestamps, age-based snapshot expiry, and the
+validate() integrity check."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.cdc import replay_log
+from data_pipeline_spark.gen import gen_event_log
+from data_pipeline_spark.icebox import IceboxTable
+from data_pipeline_spark.sql import register_metadata
+
+from .test_cdc_apply import BASE_SCHEMA
+
+
+def _mk(spark, tdir, merge_strategy="delta"):
+    log = gen_event_log(spark, n_events=600, n_docs=80, batch_size=200,
+                        partitions=4)
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=4
+    )
+    return replay_log(t, log, n_salts=4, merge_strategy=merge_strategy)
+
+
+def test_snapshots_table_shape_and_lineage(spark, tdir):
+    t = _mk(spark, tdir)
+    t.set_ref("pin")
+    snaps = t.snapshots().orderBy("snapshot_id").collect()
+    # create + 3 batches
+    assert [r["snapshot_id"] for r in snaps] == [0, 1, 2, 3]
+    assert [r["parent_id"] for r in snaps] == [None, 0, 1, 2]
+    assert snaps[0]["operation"] == "create"
+    assert all(r["operation"] == "merge" for r in snaps[1:])
+    assert sum(r["is_current"] for r in snaps) == 1 and snaps[-1]["is_current"]
+    assert snaps[-1]["refs"] == ["pin"]
+    ts = [r["committed_at"] for r in snaps]
+    assert all(b >= a for a, b in zip(ts, ts[1:]))  # monotone commit times
+    assert time.time() - 300 < ts[-1] <= time.time()
+
+
+def test_files_table_accounts_every_parquet_byte(spark, tdir):
+    import glob
+
+    t = _mk(spark, tdir, merge_strategy="auto")
+    files = t.files().collect()
+    assert files and all(r["kind"] == "base" for r in files)
+    on_disk = {
+        os.path.relpath(p, t.root): os.path.getsize(p)
+        for p in glob.glob(os.path.join(t.root, "data", "**", "*.parquet"),
+                           recursive=True)
+    }
+    # the CURRENT snapshot references a subset of on-disk files (older
+    # snapshots keep theirs until expiry); every listed file must exist
+    # with the exact size
+    got = {r["path"]: r["bytes"] for r in files}
+    assert set(got) <= set(on_disk)
+    assert all(on_disk[p] == b for p, b in got.items())
+    # delta commits show up as delta-kind rows
+    t2 = _mk(spark, os.path.join(tdir, "d"))
+    kinds = {r["kind"] for r in t2.files().collect()}
+    assert any(k.startswith("delta-") for k in kinds)
+
+
+def test_register_metadata_sql_surface(spark, tdir):
+    t = _mk(spark, tdir)
+    register_metadata(t, "tm")
+    n = spark.sql(
+        "SELECT count(*) c FROM tm__snapshots WHERE operation = 'merge'"
+    ).first()["c"]
+    assert n == 3
+    total = spark.sql("SELECT sum(bytes) s FROM tm__files").first()["s"]
+    assert total and total > 0
+
+
+def test_expire_older_than_keeps_recent(spark, tdir):
+    t = _mk(spark, tdir)
+    # cutoff BEFORE every commit: nothing but keep_last applies → age
+    # axis keeps everything newer than the cutoff
+    stats = t.expire_snapshots(keep_last=1, older_than=time.time() - 3600)
+    assert stats["removed_manifests"] == 0
+    # cutoff in the future: age protects nothing, keep_last=1 prunes
+    stats = t.expire_snapshots(keep_last=1, older_than=time.time() + 3600)
+    assert stats["removed_manifests"] == 3  # create + batches 0,1
+
+
+def test_validate_clean_and_sabotaged(spark, tdir):
+    import shutil
+
+    t = _mk(spark, tdir, merge_strategy="auto")
+    rep = t.validate(deep=True)
+    assert rep["ok"] and not rep["missing"] and not rep["mismatched"]
+    # compaction-free CoW table: every older dir is still referenced by
+    # a retained manifest → no orphans
+    assert rep["orphan_dirs"] == []
+    # sabotage: remove one referenced bucket dir
+    victim = next(
+        e["path"] for e in t.manifest["buckets"].values()
+        if e.get("path") is not None
+    )
+    shutil.rmtree(os.path.join(t.root, victim))
+    rep = t.validate()
+    assert not rep["ok"] and victim in rep["missing"]
+
+
+def test_validate_detects_orphans_after_unclean_stage(spark, tdir):
+    t = _mk(spark, tdir)
+    orphan = os.path.join(t.root, "data", "snap-zzorphan")
+    os.makedirs(orphan)
+    rep = t.validate()
+    assert rep["orphan_dirs"] == ["snap-zzorphan"]
+    # expiry reclaims it
+    t.expire_snapshots(keep_last=10_000)
+    assert not os.path.exists(orphan)
+    assert t.validate()["orphan_dirs"] == []
