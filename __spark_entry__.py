@@ -45,6 +45,7 @@ from data_pipeline_spark.gen import (
     sparse_event_log_sql,
 )
 from data_pipeline_spark.icebox.table import IceboxTable
+from data_pipeline_spark.operators import curation as C
 from data_pipeline_spark.operators import dedup as D
 from data_pipeline_spark.operators import multimodal as M
 from data_pipeline_spark.operators import similarity as S
@@ -1124,9 +1125,9 @@ GROUP BY v.vec_id
 
 
 def q_text_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID + quality scoring + URL/domain hygiene over
-    `documents`, joined on doc_id into one per-doc gate frame (folded
-    into a single registry row — all three operators keep a
+    """Language-ID + quality scoring + URL/domain hygiene + document
+    fingerprints over `documents`, joined on doc_id into one per-doc gate
+    frame (folded into a single registry row — all four operators keep a
     driver-checked oracle within the driver's 50-query correctness cap;
     all are narrow per-row computations, so the joins are the only
     exchanges and broadcast at audited sf)."""
@@ -1135,17 +1136,19 @@ def q_text_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.lang_id(docs)
         .join(T.quality_score(docs), "doc_id")
         .join(q_text_url_gate(spark, sf_dir), "doc_id")
+        .join(T.fingerprint(docs), "doc_id")
     )
 
 
 def _sql_text_gates() -> str:
     return f"""
 WITH l AS ({_sql_text_lang_id()}), q AS ({_sql_text_quality()}),
-u AS ({_sql_text_url_gate()})
+u AS ({_sql_text_url_gate()}), fp AS ({_sql_text_fingerprint()})
 SELECT l.doc_id AS doc_id, lang_pred, lang_score,
        n_chars, n_words, mean_wlen, n_punct, stop_ratio, punct_ratio, quality,
-       n_urls, hosts, has_blocked_url
+       n_urls, hosts, has_blocked_url, fp_norm, fp_winnow
 FROM l JOIN q ON l.doc_id = q.doc_id JOIN u ON l.doc_id = u.doc_id
+JOIN fp ON l.doc_id = fp.doc_id
 """
 
 
@@ -1225,6 +1228,76 @@ SELECT doc_id, {h64_sql('nrm')} AS fp_norm,
        THEN list_min(list_transform({sh}, x -> {h64_sql('x')}))
        ELSE NULL END AS fp_winnow
 FROM n
+"""
+
+
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation (operators/curation.py) in one driver-checked row,
+    three parts over `documents`:
+
+    * part='split'  — leakage-safe train/val/test: split is hashed from
+      the MinHash/LSH near-dup cluster REPRESENTATIVE, so near-duplicate
+      docs always share a split (grp=split name, x=rep_id);
+    * part='sample' — deterministic quality-weighted sampling at
+      rate 0.7 × quality (kept rows only; x=keep probability);
+    * part='mix'    — domain rebalancing of src0/src1/src2 to a 50/30/20
+      target mixture (kept rows only; grp=source, x=that source's
+      keep_rate).
+
+    Everything is salted-portable-hash thresholds — no RNG — so the
+    DuckDB twin reproduces the exact kept set."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long").alias("doc_id")
+    sp = C.leakage_safe_split(docs).select(
+        F.lit("split").alias("part"), did,
+        F.col("split").alias("grp"), F.col("rep_id").cast("double").alias("x"),
+    )
+    q = T.quality_score(docs).select("doc_id", "quality")
+    sa = C.quality_weighted_sample(q, rate=0.7).select(
+        F.lit("sample").alias("part"), did,
+        F.lit("kept").alias("grp"), F.col("keep_p").alias("x"),
+    )
+    mx = C.domain_mix(docs, _MIX_TARGETS).select(
+        F.lit("mix").alias("part"), did,
+        F.col("source").alias("grp"), F.col("keep_rate").alias("x"),
+    )
+    return sp.unionByName(sa).unionByName(mx)
+
+
+def _sql_corpus_curation() -> str:
+    from data_pipeline_spark.operators.curation import u01_sql
+
+    srcs = ", ".join(f"('{s}', {f})" for s, f in _MIX_TARGETS.items())
+    in_list = ", ".join(f"'{s}'" for s in _MIX_TARGETS)
+    return f"""
+WITH reps AS ({_sql_dedup_minhash_lsh()}),
+su AS (SELECT doc_id, rep_id,
+              {u01_sql("CAST(rep_id AS VARCHAR)", "split")} AS u FROM reps),
+q AS ({_sql_text_quality()}),
+mixc AS (SELECT source, count(*) AS n FROM documents
+         WHERE source IN ({in_list}) GROUP BY source),
+tf AS (SELECT * FROM (VALUES {srcs}) t(source, f)),
+joined AS (SELECT mixc.source AS source, n, f FROM mixc JOIN tf USING (source)),
+rates AS (SELECT source,
+                 f * (SELECT min(n / f) FROM joined) / n AS keep_rate
+          FROM joined)
+SELECT 'split' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS grp,
+       CAST(rep_id AS DOUBLE) AS x
+FROM su
+UNION ALL
+SELECT 'sample', CAST(doc_id AS BIGINT), 'kept',
+       least(0.7 * quality, 1.0)
+FROM q
+WHERE {u01_sql("CAST(doc_id AS VARCHAR)", "sample")} < least(0.7 * quality, 1.0)
+UNION ALL
+SELECT 'mix', CAST(d.doc_id AS BIGINT), d.source, keep_rate
+FROM documents d JOIN rates ON d.source = rates.source
+WHERE {u01_sql("CAST(d.doc_id AS VARCHAR)", "mix")} < keep_rate
 """
 
 
@@ -2043,7 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "text_gates": q_text_gates,
         "text_token_counts": q_text_token_counts,
-        "text_fingerprint": q_text_fingerprint,
+        "corpus_curation": q_corpus_curation,
         "text_repetition": q_text_repetition,
         "text_rarity": q_text_rarity,
         "text_pii_scrub": q_text_pii_scrub,
@@ -2104,7 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_topk": _sql_lsh_bucket_topk(),
         "text_gates": _sql_text_gates(),
         "text_token_counts": _SQL_TEXT_TOKEN_COUNTS,
-        "text_fingerprint": _sql_text_fingerprint(),
+        "corpus_curation": _sql_corpus_curation(),
         "text_repetition": _sql_text_repetition(),
         "text_rarity": _SQL_TEXT_RARITY,
         "text_pii_scrub": _sql_text_pii_scrub(),

@@ -1,0 +1,105 @@
+"""Corpus curation: leakage-safe splits, quality-weighted sampling,
+domain mixing (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.operators.curation import (
+    domain_mix,
+    leakage_safe_split,
+    quality_weighted_sample,
+)
+from data_pipeline_spark.operators.text import quality_score
+
+
+def _word(i: int, j: int) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6]
+
+
+def _docs(spark, n=200, n_dup_pairs=20):
+    """n base docs with genuinely DISTINCT texts (hash-derived words, so
+    shingle overlap between different docs is negligible), plus
+    n_dup_pairs near-duplicate copies (one-word edit of the original)
+    appended with ids >= n."""
+    base = [
+        (i, " ".join(_word(i, j) for j in range(30)), f"src{i % 4}")
+        for i in range(n)
+    ]
+    dups = [
+        (n + j, base[j][1].replace(_word(j, 7), "editedw"), base[j][2])
+        for j in range(n_dup_pairs)
+    ]
+    return spark.createDataFrame(base + dups, "doc_id long, text string, source string")
+
+
+def test_split_has_no_near_dup_leakage(spark):
+    docs = _docs(spark)
+    out = leakage_safe_split(docs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    rep_of = {r["doc_id"]: r["rep_id"] for r in out}
+    # every near-dup pair clusters together and therefore shares a split
+    paired = 0
+    for j in range(20):
+        if rep_of[j] == rep_of[200 + j]:
+            paired += 1
+            assert split_of[j] == split_of[200 + j]
+    # MinHash/LSH at k=16,bands=4 catches nearly all one-word edits
+    assert paired >= 15
+    # and a doc-id-hash split WOULD have leaked some of those pairs
+    # (sanity that the property is non-vacuous)
+    assert len({split_of[j] for j in range(20)}) > 1
+
+
+def test_split_fractions_and_determinism(spark):
+    docs = _docs(spark, n=400, n_dup_pairs=0)
+    out = leakage_safe_split(docs, fractions=(0.8, 0.1, 0.1)).collect()
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert counts["train"] / len(out) == pytest.approx(0.8, abs=0.08)
+    again = leakage_safe_split(docs, fractions=(0.8, 0.1, 0.1)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, fractions=(0.5, 0.2), names=("a", "b", "c"))
+
+
+def test_quality_sample_deterministic_and_weighted(spark):
+    docs = _docs(spark, n=300, n_dup_pairs=0)
+    q = quality_score(docs)
+    kept = quality_weighted_sample(q, rate=0.6)
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in quality_weighted_sample(q, rate=0.6).collect()}
+    assert a == b and 0 < len(a) < 300
+    # monotone in rate: raising the rate never drops a previously-kept doc
+    more = {r["doc_id"] for r in quality_weighted_sample(q, rate=0.9).collect()}
+    assert a <= more
+    # keep_p column is rate x quality clamped
+    row = (
+        kept.select("doc_id", "keep_p")
+        .join(q.select("doc_id", "quality"), "doc_id")
+        .first()
+    )
+    assert row["keep_p"] == pytest.approx(min(0.6 * row["quality"], 1.0))
+
+
+def test_domain_mix_hits_targets(spark):
+    # skewed corpus: 600/200/100 docs of a/b/c
+    rows = [(i, f"text {i}", "a" if i < 600 else "b" if i < 800 else "c")
+            for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = domain_mix(docs, {"a": 0.4, "b": 0.4, "c": 0.2})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # T = min(600/.4, 200/.4, 100/.2) = 500 -> targets 200/200/100
+    assert got["c"] == 100  # constraining source keeps everything
+    assert got["a"] == pytest.approx(200, abs=30)
+    assert got["b"] == pytest.approx(200, abs=30)
+    # untargeted sources are dropped entirely
+    out2 = domain_mix(docs, {"a": 0.5, "b": 0.5})
+    assert out2.filter(F.col("source") == "c").count() == 0
+    with pytest.raises(ValueError):
+        domain_mix(docs, {"a": 0.4})
