@@ -263,11 +263,26 @@ class IceboxTable:
         schema: StructType,
         n_buckets: int = 32,
         key: str = "doc_id",
+        immutable_cols: list[str] | None = None,
     ) -> "IceboxTable":
+        """immutable_cols: columns the writer CONTRACTS never change
+        across versions of a key (every change event for a doc carries
+        the same value — e.g. source, ingest date class). Zone-map reads
+        may then prune individual files/delta commits on predicates over
+        these columns (safe because any version witnesses the key's
+        value); mutable columns only ever prune at whole-bucket
+        granularity. The contract is the user's, like Iceberg partition
+        columns — the engine does not re-verify it per batch."""
         meta_dir = os.path.join(root, "metadata")
         os.makedirs(meta_dir, exist_ok=False)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         schema = _stamp_field_ids(schema)
+        by_name = {f.name: _field_id(f) for f in schema.fields}
+        imm = []
+        for c in immutable_cols or []:
+            if c not in by_name:
+                raise ValueError(f"immutable col {c!r} not in schema")
+            imm.append(by_name[c])
         manifest = {
             "snapshot_id": 0,
             "parent_id": None,
@@ -278,6 +293,7 @@ class IceboxTable:
             "current_schema_id": 0,
             "schemas": {"0": schema.json()},
             "last_field_id": len(schema.fields) - 1,
+            "immutable_fields": imm,
             "buckets": {},
             "deltas": [],
             "lineage_paths": [],
@@ -544,6 +560,7 @@ class IceboxTable:
         buckets: list[int] | None = None,
         internal: bool = False,
         keys: list | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Read the table at this snapshot, optionally pruned to buckets.
 
@@ -574,6 +591,16 @@ class IceboxTable:
         if wanted is not None:
             entries = {b: e for b, e in entries.items() if b in wanted}
 
+        # zone-map pruning (see prune_plan): semantics == read().filter(
+        # conjunction) — the filter below is ALWAYS applied, pruning only
+        # removes files that provably contribute no surviving winner
+        zp = self.prune_plan(where) if where else None
+        if zp:
+            entries = {
+                b: e for b, e in entries.items()
+                if b not in zp["skip_buckets"] and b not in zp["dead_base"]
+            }
+
         # which wanted buckets have live delta rows (merge-on-read)?
         # A (delta, bucket) whose manifest key bounds OR key bloom
         # exclude every probed key contributes nothing — drop it here,
@@ -581,6 +608,11 @@ class IceboxTable:
         # is excluded needs no LWW aggregate at all.
         delta_entries = self.manifest.get("deltas") or []
         delta_live = self.prune_delta_buckets(keys, wanted)
+        if zp:
+            delta_live = [
+                set() if i in zp["dead_deltas"] else live - zp["skip_buckets"]
+                for i, live in enumerate(delta_live)
+            ]
         mor_buckets: set[str] = set()
         for live in delta_live:
             mor_buckets |= live
@@ -658,6 +690,12 @@ class IceboxTable:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        if where:
+            # post-merge filter: the semantic definition of where= (the
+            # predicate applies to WINNER rows). Catalyst pushes it into
+            # the clean-bucket scans automatically (no agg in their way);
+            # the MoR side correctly filters only after the LWW aggregate.
+            out = out.filter(self._where_expr(where))
         if internal:
             return out
         return out.filter(~F.coalesce(F.col("_tombstone"), F.lit(False))).drop(
@@ -701,6 +739,105 @@ class IceboxTable:
                 }
             out.append(live)
         return out
+
+    def prune_plan(self, where: list[tuple]) -> dict:
+        """Driver-side zone-map pruning plan for a conjunction of simple
+        predicates ``[(col, op, value), ...]`` (ops: = < <= > >= in),
+        from manifest statistics alone — zero file opens.
+
+        Two sound rules (read()'s post-merge filter guarantees semantic
+        equality either way; pruning only removes work):
+
+        * BUCKET rule (any column): a bucket is skipped iff EVERY file
+          that can hold its rows — base entry and every delta commit
+          covering it — provably excludes some conjunct (min/max bounds,
+          harvested with a zero-null guard, or the file's schema lacking
+          the field entirely, which backfills to null and null never
+          satisfies a comparison). Keys never cross buckets, so dropping
+          all of a bucket's versions together cannot change any winner
+          that survives the filter.
+        * FILE rule (immutable columns only): a single delta entry / base
+          group may be dropped when an immutable-column conjunct excludes
+          it — every version of a key shares the value, and the excluded
+          file's non-null bounds witness that value fails the predicate,
+          so the key is post-filtered out no matter which of its versions
+          wins. Missing-field exclusion does NOT apply here (an old file
+          without the column does not witness the key's current value).
+
+        Mutable-column predicates therefore prune at bucket granularity
+        only; batch-correlated IMMUTABLE columns (source, ingest day) are
+        what make delta-commit skipping bite at 100 TB.
+        """
+        imm = set(self.manifest.get("immutable_fields") or [])
+        zf = _zone_fields(self.schema)
+        conj = [(zf.get(c), op, v) for (c, op, v) in where]
+        schema_fids: dict[str, set] = {}
+        for sid, js in self.manifest["schemas"].items():
+            st = StructType.fromJson(json.loads(js))
+            schema_fids[sid] = {
+                _field_id(f) for f in st.fields if _field_id(f) is not None
+            }
+
+        def excluded(bounds, sid, immutable_only: bool) -> bool:
+            for fid, op, v in conj:
+                if fid is None:
+                    continue
+                if immutable_only and fid not in imm:
+                    continue
+                if fid not in schema_fids[str(sid)]:
+                    if immutable_only:
+                        continue
+                    return True
+                b = (bounds or {}).get(str(fid))
+                if b and _bounds_exclude(b, op, v):
+                    return True
+            return False
+
+        deltas = self.manifest.get("deltas") or []
+        d_any = [excluded(d.get("col_bounds"), d["schema_id"], False)
+                 for d in deltas]
+        d_imm = [excluded(d.get("col_bounds"), d["schema_id"], True)
+                 for d in deltas]
+        buckets = self.manifest["buckets"]
+        universe = set(buckets)
+        for d in deltas:
+            universe |= set(d["bucket_rows"])
+        skip: set[str] = set()
+        dead_base: set[str] = set()
+        for b in universe:
+            e = buckets.get(b)
+            has_base = e is not None and e.get("path") is not None
+            base_any = (not has_base) or excluded(
+                e.get("col_bounds"), e["schema_id"], False
+            )
+            if has_base and excluded(e.get("col_bounds"), e["schema_id"], True):
+                dead_base.add(b)
+            if base_any and all(
+                d_any[i] for i, d in enumerate(deltas) if b in d["bucket_rows"]
+            ):
+                skip.add(b)
+        return {
+            "skip_buckets": skip,
+            "dead_base": dead_base,
+            "dead_deltas": {i for i, x in enumerate(d_imm) if x},
+            "n_buckets_total": len(universe),
+        }
+
+    @staticmethod
+    def _where_expr(where: list[tuple]):
+        expr = None
+        for c, op, v in where:
+            col = F.col(c)
+            x = {
+                "=": lambda: col == v,
+                "<": lambda: col < v,
+                "<=": lambda: col <= v,
+                ">": lambda: col > v,
+                ">=": lambda: col >= v,
+                "in": lambda: col.isin(list(v)),
+            }[op]()
+            expr = x if expr is None else expr & x
+        return expr
 
     def lookup(self, keys: list) -> DataFrame:
         """Point read: live rows for the given keys, touching only their
@@ -812,6 +949,17 @@ class IceboxTable:
             for b in touched_buckets
             if b in written
         }
+        # zone maps: per-bucket column min/max from the same footers the
+        # row counts just opened (driver-side, no Spark job)
+        write_logical = StructType.fromJson(
+            json.loads(self.manifest["schemas"][str(file_schema_id)])
+        )
+        bounds_by_bucket = {
+            b: _harvest_col_bounds([os.path.join(snap_abs, f"_b={b}")],
+                                   write_logical)
+            for b in touched_buckets
+            if b in written
+        }
         touched_strs = {str(b) for b in touched_buckets}
 
         lineage_rel = None
@@ -837,6 +985,8 @@ class IceboxTable:
                         "schema_id": file_schema_id,
                         "rows": rows_by_bucket[b],
                     }
+                    if bounds_by_bucket.get(b):
+                        new_buckets[str(b)]["col_bounds"] = bounds_by_bucket[b]
                 else:
                     new_buckets.pop(str(b), None)  # bucket emptied by deletes
 
@@ -941,6 +1091,7 @@ class IceboxTable:
         summary: dict | None = None,
         key_bounds: dict | None = None,
         key_blooms: dict | None = None,
+        col_bounds: dict | None = None,
         retry_on_conflict: int = 0,
     ) -> "IceboxTable":
         """Publish a delta file set previously written by stage_delta —
@@ -993,6 +1144,20 @@ class IceboxTable:
             entry["key_blooms"] = {
                 str(b): v for b, v in key_blooms.items() if isinstance(v, str)
             }
+        if col_bounds:
+            # zone maps: {field_id: [lo, hi]} over the WHOLE delta commit
+            # (entry granularity — its files span buckets). JSON-safe
+            # scalars only; anything else is dropped, pruning degrades.
+            safe = {
+                str(k): [lo, hi]
+                for k, (lo, hi) in col_bounds.items()
+                if isinstance(lo, (str, int, float))
+                and isinstance(hi, (str, int, float))
+                and not isinstance(lo, bool)
+                and not isinstance(hi, bool)
+            }
+            if safe:
+                entry["col_bounds"] = safe
         lineage_rel = None
         if lineage is not None:
             if isinstance(lineage, DataFrame):
@@ -1036,6 +1201,7 @@ class IceboxTable:
         summary: dict | None = None,
         key_bounds: dict | None = None,
         key_blooms: dict | None = None,
+        collect_stats: bool = False,
         retry_on_conflict: int = 0,
     ) -> "IceboxTable":
         """Merge-on-read commit: append ONE compact delta file set instead
@@ -1083,9 +1249,24 @@ class IceboxTable:
             .write.mode("overwrite")
             .parquet(snap_abs)
         )
+        col_bounds = None
+        if collect_stats:
+            # zone maps off the staged footers (driver-side, O(#files)
+            # footer reads). OFF by default: the hot CDC apply path's
+            # per-batch constant matters more than analytics pruning on
+            # never-compacted deltas — compaction harvests bounds anyway.
+            write_logical = StructType.fromJson(
+                json.loads(
+                    self.manifest["schemas"][
+                        str(self.manifest["current_schema_id"])
+                    ]
+                )
+            )
+            col_bounds = _harvest_col_bounds([snap_abs], write_logical)
         return self.commit_staged_delta(
             snap_rel, bucket_rows, tag=tag, lineage=lineage, summary=summary,
             key_bounds=key_bounds, key_blooms=key_blooms,
+            col_bounds=col_bounds,
             retry_on_conflict=retry_on_conflict,
         )
 
@@ -1864,6 +2045,129 @@ def _parquet_rows(bucket_dir: str) -> int:
         if f.endswith(".parquet"):
             n += pq.read_metadata(os.path.join(bucket_dir, f)).num_rows
     return n
+
+
+# ---------- column zone maps (manifest min/max statistics) ----------
+#
+# The Iceberg lower_bounds/upper_bounds analog for NON-key columns:
+# harvested from parquet footers the commit already has open (driver-side,
+# O(#files) footer reads, zero Spark jobs), recorded per bucket entry
+# (base) / per delta entry, KEYED BY FIELD ID so renames keep pruning
+# working. Pruning is an optimization, never a correctness dependency:
+# any missing/odd stat degrades to "might match".
+
+_ZONE_TYPES = ("byte", "short", "integer", "long", "float", "double", "string")
+_ZONE_MAX_STR = 64  # parquet writers may truncate long string stats
+
+
+def _zone_fields(logical: StructType) -> dict[str, int]:
+    """{column name: field id} for columns zone maps can cover."""
+    out = {}
+    for f in logical.fields:
+        fid = _field_id(f)
+        if fid is not None and f.dataType.typeName() in _ZONE_TYPES:
+            out[f.name] = fid
+    return out
+
+
+def _harvest_col_bounds(paths: list[str], logical: StructType) -> dict:
+    """{field_id_str: [lo, hi]} over every row group of `paths`.
+
+    A column qualifies only if EVERY row group has exact min/max and ZERO
+    nulls for it: the null-count guard is what makes immutable-column
+    file pruning safe — a tombstone carrying a null payload value would
+    otherwise let an excluded delta's delete resurrect an older live row.
+    """
+    import math
+
+    import pyarrow.parquet as pq
+
+    fields = _zone_fields(logical)
+    agg: dict[str, list] = {}
+    dead: set[str] = set()
+    for p in paths:
+        files = (
+            [p]
+            if p.endswith(".parquet")
+            else [
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            ]
+        )
+        for fp in files:
+            md = pq.read_metadata(fp)
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    name = col.path_in_schema
+                    if name not in fields or name in dead:
+                        continue
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or st.null_count is None
+                        or st.null_count > 0
+                    ):
+                        dead.add(name)
+                        continue
+                    lo, hi = st.min, st.max
+                    ok = (
+                        isinstance(lo, (int, float, str))
+                        and not isinstance(lo, bool)
+                        and type(lo) is type(hi)
+                    )
+                    if ok and isinstance(lo, float) and (
+                        math.isnan(lo) or math.isnan(hi)
+                    ):
+                        ok = False
+                    if ok and isinstance(lo, str) and (
+                        len(lo) >= _ZONE_MAX_STR or len(hi) >= _ZONE_MAX_STR
+                    ):
+                        ok = False
+                    if not ok:
+                        dead.add(name)
+                        continue
+                    k = str(fields[name])
+                    if k in agg:
+                        agg[k][0] = min(agg[k][0], lo)
+                        agg[k][1] = max(agg[k][1], hi)
+                    else:
+                        agg[k] = [lo, hi]
+    dead_fids = {str(fields[n]) for n in dead}
+    return {k: v for k, v in agg.items() if k not in dead_fids}
+
+
+def _bounds_exclude(bounds, op: str, val) -> bool:
+    """True iff [lo, hi] proves no row can satisfy `col op val`.
+    Conservative: uncomparable types or any error -> False."""
+    try:
+        lo, hi = bounds
+        if isinstance(val, bool) or isinstance(lo, bool):
+            return False
+        num = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+        if op == "in":
+            vs = list(val)
+            return all(_bounds_exclude(bounds, "=", v) for v in vs)
+        if num != isinstance(val, (int, float)) or (
+            isinstance(lo, str) != isinstance(val, str)
+        ):
+            return False
+        if op == "=":
+            return val < lo or val > hi
+        if op == "<":
+            return lo >= val
+        if op == "<=":
+            return lo > val
+        if op == ">":
+            return hi <= val
+        if op == ">=":
+            return hi < val
+        return False
+    except TypeError:
+        return False
 
 
 def _write_lineage_local(dir_path: str, rows: list[tuple]) -> None:
