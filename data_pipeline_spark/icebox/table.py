@@ -1744,6 +1744,50 @@ class IceboxTable:
         os.replace(tmp, path)
         _fsync_dir(refs_dir)
 
+    def write_audit_publish(
+        self,
+        commit_fn,
+        audit_fn=None,
+        ref: str = "published",
+    ) -> "IceboxTable":
+        """Write-audit-publish (Iceberg's WAP pattern, on refs instead of
+        branches — the snapshot chain stays linear, see set_ref).
+
+        Reader contract: production consumers read ``load(root,
+        ref="published")``, never CURRENT. A writer then runs
+
+        * WRITE   — ``commit_fn(table) -> table'`` performs any normal
+          commit(s); CURRENT advances but the published ref does not, so
+          consumers keep reading the audited state;
+        * AUDIT   — ``audit_fn(table')`` (default: ``validate()`` with a
+          clean-report check) inspects the REAL committed files. A falsy
+          return or an exception fails the audit: the table rolls back
+          to the pre-write snapshot (append-only rollback commit — the
+          bad snapshot stays for forensics until expiry) and the ref
+          never moves;
+        * PUBLISH — on success the ref fast-forwards to the new snapshot
+          (fsync'd atomic rename, same durability as a commit).
+
+        Returns the post-publish (or post-rollback) table handle."""
+        base_sid = self.snapshot_id
+        if ref in self.refs() and self.refs()[ref] > base_sid:
+            raise ValueError(
+                f"ref {ref!r} is ahead of this handle — load CURRENT first"
+            )
+        try:
+            t2 = commit_fn(self)
+            if audit_fn is None:
+                ok = t2.validate(deep=True)["ok"]
+            else:
+                ok = audit_fn(t2)
+        except Exception:
+            IceboxTable.load(self.spark, self.root).rollback(base_sid)
+            raise
+        if not ok:
+            return IceboxTable.load(self.spark, self.root).rollback(base_sid)
+        t2.set_ref(ref, overwrite=True)
+        return t2
+
     def refs(self) -> dict[str, int]:
         """All named refs: {name: snapshot_id}."""
         refs_dir = self._refs_dir()
