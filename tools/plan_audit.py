@@ -54,6 +54,15 @@ AUDITED = {
             r"!hashpartitioning\(doc_id\S*, _word",
         ),
     ],
+    "corpus_curation": [
+        # split/sample/mix are pure column exprs over the portable hash —
+        # the only exchanges are the LSH banding aggregates (band,bucket)
+        # and the tiny rate/count frames; nothing is all-pairs
+        ("no row-at-a-time Python UDFs anywhere", r"!BatchEvalPython"),
+        ("LSH band buckets aggregate on (band, bucket)", r"hashpartitioning\(band"),
+        ("domain-mix rate frame broadcasts back", r"BroadcastHashJoin"),
+        ("no cartesian product anywhere", r"!CartesianProduct"),
+    ],
     "corpus_prep_scored": [
         (
             "model gate scores via ArrowEvalPython (Arrow-batched), never "
