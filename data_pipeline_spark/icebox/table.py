@@ -1812,6 +1812,58 @@ class IceboxTable:
         _fsync_dir(self._refs_dir())
         return True
 
+    def analyze(self) -> "IceboxTable":
+        """Backfill zone-map statistics for entries that lack them, as a
+        METADATA-ONLY commit (no data moves) — the out-of-band partner of
+        ``collect_stats``: the hot CDC apply path commits deltas without
+        footer harvesting (per-batch constant first), then a maintenance
+        window runs analyze() and every older delta becomes prunable by
+        read(where=). Base bucket entries written before zone maps (or by
+        older engine versions) are covered too. Idempotent; returns self
+        unchanged when nothing is missing. Driver-side footer reads only,
+        O(#files lacking stats), zero Spark jobs."""
+        changed = False
+        new_deltas = []
+        for d in self.manifest.get("deltas") or []:
+            if d.get("col_bounds") is None:
+                logical = StructType.fromJson(
+                    json.loads(self.manifest["schemas"][str(d["schema_id"])])
+                )
+                cb = _harvest_col_bounds(
+                    [os.path.join(self.root, d["path"])], logical
+                )
+                if cb:
+                    d = {**d, "col_bounds": cb}
+                    changed = True
+            new_deltas.append(d)
+        new_buckets = {}
+        for b, e in self.manifest["buckets"].items():
+            if e.get("path") is not None and e.get("col_bounds") is None:
+                logical = StructType.fromJson(
+                    json.loads(self.manifest["schemas"][str(e["schema_id"])])
+                )
+                cb = _harvest_col_bounds(
+                    [os.path.join(self.root, e["path"])], logical
+                )
+                if cb:
+                    e = {**e, "col_bounds": cb}
+                    changed = True
+            new_buckets[b] = e
+        if not changed:
+            return self
+        manifest = {
+            **self.manifest,
+            "snapshot_id": self.snapshot_id + 1,
+            "parent_id": self.snapshot_id,
+            "tag": None,
+            "buckets": new_buckets,
+            "deltas": new_deltas,
+            "summary": {"operation": "analyze"},
+        }
+        self._check_current()
+        self._write_manifest(manifest)
+        return IceboxTable(self.spark, self.root, manifest)
+
     def expire_snapshots(
         self, keep_last: int = 5, older_than: float | None = None
     ) -> dict:

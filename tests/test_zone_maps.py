@@ -179,6 +179,35 @@ def test_compaction_harvests_zone_maps(spark, tdir):
     assert zp["skip_buckets"] == set(t.manifest["buckets"])
 
 
+def test_analyze_backfills_stats_metadata_only(spark, tdir):
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "t"), SCHEMA, n_buckets=4,
+        immutable_cols=["source"],
+    )
+    # hot-path commits: no stats harvested
+    for si in range(3):
+        items = [(f"{si}_{i}", i, f"src{si}", si * 100 + i, False)
+                 for i in range(50)]
+        t = _commit_delta(t, _rows(spark, t, items), collect_stats=False)
+    assert all(d.get("col_bounds") is None for d in t.manifest["deltas"])
+    assert not t.prune_plan([("source", "=", "src1")])["dead_deltas"]
+    sid = t.snapshot_id
+    t = t.analyze()
+    assert t.snapshot_id == sid + 1
+    assert t.manifest["summary"]["operation"] == "analyze"
+    # now the immutable file rule prunes the other commits
+    assert t.prune_plan([("source", "=", "src1")])["dead_deltas"] == {0, 2}
+    rows = _assert_where_equals_filter(
+        t, [("source", "=", "src1")], F.col("source") == "src1")
+    assert len(rows) == 50
+    # idempotent: nothing left to backfill -> same handle, no commit
+    assert t.analyze() is t
+    # no data moved: delta paths identical to the pre-analyze manifest
+    pre = IceboxTable.load(spark, t.root, snapshot_id=sid)
+    assert [d["path"] for d in pre.manifest["deltas"]] == \
+        [d["path"] for d in t.manifest["deltas"]]
+
+
 def test_rename_keeps_pruning_by_field_id(spark, tdir):
     t = IceboxTable.create(spark, os.path.join(tdir, "t"), SCHEMA, n_buckets=2)
     t = _commit_delta(t, _rows(spark, t, [
