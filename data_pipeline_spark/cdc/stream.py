@@ -45,6 +45,7 @@ def run_stream(
     materialized_views=None,
     merge_mode: str = "row",
     agg_specs: dict[str, str] | None = None,
+    event_transform=None,
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
@@ -103,6 +104,18 @@ def run_stream(
     twice and nothing is lost. Views lag the table by at most one epoch
     during the outage window and are exactly consistent at every quiet
     point.
+
+    event_transform: optional ``DataFrame -> DataFrame`` applied to each
+    epoch's raw events BEFORE the merge — the in-stream enrichment hook.
+    The canonical use is tokenize-on-ingest: upstream emits change events
+    carrying raw text, the transform runs the broadcast-ranks BPE encode
+    (operators/bpe.py) and the merged table stores token arrays — the
+    full "binlog tail → tokenize → lake" production shape in one stream.
+    MUST be deterministic and per-row/narrow (no cross-epoch state): a
+    replayed epoch re-runs the transform, and exactly-once holds because
+    the tag guards the COMMIT, not the transform. The transform's output
+    must match the TABLE schema (plus lsn/op); the raw event schema may
+    differ — pass that as events_schema.
     """
 
     if merge_mode not in ("row", "partial", "aggregate"):
@@ -111,6 +124,8 @@ def run_stream(
         raise ValueError("merge_mode='aggregate' requires agg_specs")
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if event_transform is not None:
+            batch_df = event_transform(batch_df)
         table = IceboxTable.load(spark, table_root)
         if merge_mode == "partial":
             table = apply_batch_partial(

@@ -63,6 +63,74 @@ def test_pipeline_is_deterministic_and_exactly_once(spark, tdir):
     assert t1b.snapshot_id == sid and _content_hash(t1b) == h
 
 
+def test_stream_tokenize_on_ingest(spark, tdir):
+    """binlog tail -> BPE tokenize in-stream (event_transform) -> lake:
+    raw-text change events become token arrays in the merged table, and
+    checkpoint replay stays a no-op (the tag guards the commit, the
+    transform re-runs harmlessly)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from data_pipeline_spark.cdc.stream import run_stream
+    from data_pipeline_spark.operators.bpe import bpe_encode, bpe_train
+
+    corpus = _docs(spark, n=40, n_dup_pairs=0)
+    model = bpe_train(corpus, n_merges=20)
+
+    raw_schema = StructType([
+        StructField("lsn", LongType()),
+        StructField("op", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ])
+    ev_dir = os.path.join(tdir, "events")
+    events = corpus.select(
+        F.col("doc_id").cast("long").alias("lsn"),
+        F.lit("upsert").alias("op"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text", "source",
+        (F.col("doc_id") % 2).alias("batch_id"),
+    )
+    events.write.partitionBy("batch_id").parquet(ev_dir)
+
+    table_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+    ])
+    root = os.path.join(tdir, "t")
+    IceboxTable.create(spark, root, table_schema, n_buckets=2)
+
+    def tokenize(df):
+        enc = bpe_encode(df, model, text_col="text", out_col="tokens")
+        return enc.withColumn(
+            "n_tok", F.size("tokens").cast("int")
+        ).drop("text")
+
+    ckpt = os.path.join(tdir, "ckpt")
+    run_stream(spark, ev_dir, raw_schema, root, ckpt,
+               max_files_per_trigger=1, merge_strategy="delta",
+               event_transform=tokenize)
+    t = IceboxTable.load(spark, root)
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert len(rows) == 40
+    src = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for d in ("0", "13"):
+        got = bpe_decode_ids(list(rows[d]["tokens"]), model["vocab"])
+        assert got == "".join(src[int(d)].split())
+    # restart with the same checkpoint: byte-identical table state
+    sid = t.snapshot_id
+    run_stream(spark, ev_dir, raw_schema, root, ckpt,
+               max_files_per_trigger=1, merge_strategy="delta",
+               event_transform=tokenize)
+    assert IceboxTable.load(spark, root).snapshot_id == sid
+
+
 def test_quality_gate_reduces_and_cdc_merges_on_top(spark, tdir):
     docs = _docs(spark, n=60, n_dup_pairs=0).withColumn(
         "doc_id", F.col("doc_id").cast("string")
