@@ -1347,6 +1347,7 @@ class IceboxTable:
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
         include_pre: bool = True,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """NET row-level change feed between two committed snapshots —
         the Iceberg incremental-read / Delta CDF analog: what a
@@ -1383,6 +1384,16 @@ class IceboxTable:
         re-reading them (/root/reference/athena-schema/
         add-buildings-partitions.js:4-10 appends version= partitions);
         this is that diff made O(changes).
+
+        where: filtered CDF — the change feed OF THE FILTERED VIEW
+        ``read(where=...)``: exactly what a consumer maintaining a
+        derived copy of `SELECT * WHERE P` must apply. A row UPDATED
+        into the predicate emits `insert`, updated out of it emits
+        `delete` (its old image) — the filtered view's own lifecycle,
+        not a per-row post-filter of the unfiltered feed. Both state
+        reads go through zone-map pruning, so immutable-column
+        predicates (source, ingest day) skip foreign delta commits
+        driver-side on BOTH sides of the diff.
         """
         to_sid = self.snapshot_id if to_snapshot_id is None else to_snapshot_id
         if not 0 <= from_snapshot_id <= to_sid <= self.snapshot_id:
@@ -1435,8 +1446,21 @@ class IceboxTable:
         bsel = (
             sorted(touched) if (prune_buckets and not full_diff) else None
         )
-        a_state = old.read(buckets=bsel)
-        b_state = src.read(buckets=bsel)
+        # `where` names columns in B's (current) schema; the A snapshot
+        # may predate a rename/add, so push it into the A read only when
+        # every predicate column exists there under the same name —
+        # otherwise filter A after the field-id rename/conform below
+        # (same semantics, loses only A-side pruning for that interval)
+        # field-id identity, not just the name: a rename a->b followed by
+        # a new column named a would otherwise push B's predicate onto
+        # A's OLD field
+        a_ids = {f.name: _field_id(f) for f in old.schema.fields}
+        b_ids = {f.name: _field_id(f) for f in src.schema.fields}
+        a_pushable = where is not None and all(
+            c in a_ids and a_ids[c] == b_ids.get(c) for (c, _, _) in where
+        )
+        a_state = old.read(buckets=bsel, where=where if a_pushable else None)
+        b_state = src.read(buckets=bsel, where=where)
 
         # conform the A side to B's schema: field-id translation first
         # (renames map values to the new name, dropped columns project
@@ -1445,6 +1469,8 @@ class IceboxTable:
         tgt = src.schema
         a_state = _rename_by_field_ids(a_state, old.schema, tgt)
         a_state = _conform(a_state, tgt)
+        if where is not None and not a_pushable:
+            a_state = a_state.filter(self._where_expr(where))
 
         key = self.key
         others = [f.name for f in tgt.fields if f.name != key]

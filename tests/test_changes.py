@@ -302,3 +302,82 @@ def test_change_cursor_poll_ack_exactly_once(spark, tdir):
     types = {r["_change_type"] for r in chg4.collect()}
     assert types <= {"update_pre", "update_post", "insert"}
     assert chg4.filter(F.col("doc_id") == "doc_000001").count() > 0
+
+
+def test_filtered_cdf_is_diff_of_filtered_views(spark, tdir):
+    """changes(where=P) == the net diff of the FILTERED views: rows
+    updated into P emit insert, updated out of P emit delete — what a
+    consumer maintaining a derived `SELECT * WHERE P` copy applies."""
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA,
+                           n_buckets=4)
+    mk = lambda rows, b: spark.createDataFrame(  # noqa: E731
+        rows,
+        "lsn long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string, batch_id int",
+    )
+    t = apply_batch(t, mk([
+        (1, "insert", "a", [1], 1, "web", 0),
+        (2, "insert", "b", [2], 2, "book", 0),
+        (3, "insert", "c", [3], 3, "web", 0),
+    ], 0), 0, merge_strategy="delta")
+    a_sid = t.snapshot_id
+    # b moves INTO web, c moves OUT (delete), a updates within web
+    t = apply_batch(t, mk([
+        (10, "update", "a", [1, 1], 2, "web", 1),
+        (11, "update", "b", [2, 2], 2, "web", 1),
+        (12, "delete", "c", None, None, None, 1),
+    ], 1), 1, merge_strategy="delta")
+
+    where = [("source", "=", "web")]
+    got = _got_diff(t.changes(a_sid, where=where))
+    assert got == {
+        ("a", "update_pre"): ([1], 1, "web"),
+        ("a", "update_post"): ([1, 1], 2, "web"),
+        ("b", "insert"): ([2, 2], 2, "web"),
+        ("c", "delete"): ([3], 3, "web"),
+    }
+    # equivalence with the filtered-view diff, directly
+    pre = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+           for r in IceboxTable.load(spark, t.root, a_sid)
+           .read(where=where).collect()}
+    post = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+            for r in t.read(where=where).collect()}
+    assert got == _expected_diff(pre, post)
+
+
+def test_filtered_cdf_survives_interval_rename(spark, tdir):
+    """A rename inside the interval: the predicate names B's column; the
+    A side filters post-conform (pushability guard) and the feed is
+    still the filtered-view diff."""
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA,
+                           n_buckets=2)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows,
+        "lsn long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string, batch_id int",
+    )
+    t = apply_batch(t, mk([(1, "insert", "a", [1], 1, "web", 0),
+                           (2, "insert", "b", [2], 2, "book", 0)]), 0,
+                    merge_strategy="delta")
+    a_sid = t.snapshot_id
+    t = t.rename_column("source", "origin")
+    upd = spark.createDataFrame(
+        [(10, "update", "a", [9], 1, "web", 1)],
+        "lsn long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, origin string, batch_id int",
+    )
+    t = apply_batch(t, upd, 1, merge_strategy="delta")
+    got = _got_diff_origin(t.changes(a_sid, where=[("origin", "=", "web")]))
+    assert got == {
+        ("a", "update_pre"): ([1], 1, "web"),
+        ("a", "update_post"): ([9], 1, "web"),
+    }
+
+
+def _got_diff_origin(chg_df):
+    return {
+        (r["doc_id"], r["_change_type"]): (
+            list(r["tokens"]), r["n_tok"], r["origin"],
+        )
+        for r in chg_df.collect()
+    }
