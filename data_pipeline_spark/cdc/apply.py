@@ -404,6 +404,7 @@ def apply_batch(
             lineage=lineage,
             summary=summary,
             repartition=False,  # both merge plans already cluster by _b
+            collect_stats=False,  # hot per-batch path: analyze()/compaction harvest later
             retry_on_conflict=retry_on_conflict,
         )
     finally:

@@ -325,6 +325,7 @@ def _apply_columnar(
             lineage=lineage,
             summary=summary,
             retry_on_conflict=retry_on_conflict,
+            collect_stats=False,  # hot per-batch path
         )
     except Exception:
         table.manifest["current_schema_id"] = saved_schema_id

@@ -561,6 +561,7 @@ class IceboxTable:
         internal: bool = False,
         keys: list | None = None,
         where: list[tuple] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read the table at this snapshot, optionally pruned to buckets.
 
@@ -584,6 +585,27 @@ class IceboxTable:
         range can contain the probe.
         """
         cur_schema = self.schema
+        # column projection PUSHED THROUGH the merge: Catalyst prunes
+        # columns into clean-bucket scans by itself, but the MoR LWW
+        # aggregate materializes max_by(struct(<fields>)) — a struct over
+        # every column blocks pruning, so a 2-column projection of a
+        # delta'd table would still read the token arrays. `columns`
+        # narrows the payload struct itself; the key and any `where`
+        # columns ride along for the merge/filter and are dropped from
+        # the result if not requested.
+        drop_extra: list[str] = []
+        if columns is not None:
+            have = {f.name for f in cur_schema.fields}
+            missing = [c for c in columns if c not in have]
+            if missing:
+                raise ValueError(f"unknown columns {missing}")
+            need = set(columns) | {self.key}
+            for c, _, _ in where or []:
+                need.add(c)
+            drop_extra = sorted(need - set(columns))
+            cur_schema = StructType(
+                [f for f in cur_schema.fields if f.name in need]
+            )
         phys_target = StructType([*cur_schema.fields, *INTERNAL_FIELDS])
         key_pred = F.col(self.key).isin(list(keys)) if keys is not None else None
         entries = self.manifest["buckets"]
@@ -698,8 +720,10 @@ class IceboxTable:
             out = out.filter(self._where_expr(where))
         if internal:
             return out
-        return out.filter(~F.coalesce(F.col("_tombstone"), F.lit(False))).drop(
-            *INTERNAL_NAMES
+        return (
+            out.filter(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+            .drop(*INTERNAL_NAMES)
+            .drop(*drop_extra)
         )
 
     def prune_delta_buckets(
@@ -839,7 +863,7 @@ class IceboxTable:
             expr = x if expr is None else expr & x
         return expr
 
-    def lookup(self, keys: list) -> DataFrame:
+    def lookup(self, keys: list, columns: list[str] | None = None) -> DataFrame:
         """Point read: live rows for the given keys, touching only their
         buckets (bucket = f(key) computed driver-side) and, inside each
         file, only matching row groups (files are sorted by (_b, key), so
@@ -864,7 +888,7 @@ class IceboxTable:
         # keys= pushes the isin predicate into every scan AND lets the
         # manifest's per-(delta, bucket) key bounds skip whole delta
         # commits driver-side (see read())
-        return self.read(buckets=buckets, keys=list(keys))
+        return self.read(buckets=buckets, keys=list(keys), columns=columns)
 
     def read_lineage(self) -> DataFrame:
         paths = [os.path.join(self.root, p) for p in self.manifest["lineage_paths"]]
@@ -883,6 +907,7 @@ class IceboxTable:
         summary: dict | None = None,
         repartition: bool = True,
         retry_on_conflict: int = 0,
+        collect_stats: bool = True,
     ) -> "IceboxTable":
         """Copy-on-write commit: `merged` holds the COMPLETE new contents of
         `touched_buckets` (with a `_b` bucket column; merge metadata
@@ -949,17 +974,22 @@ class IceboxTable:
             for b in touched_buckets
             if b in written
         }
-        # zone maps: per-bucket column min/max from the same footers the
-        # row counts just opened (driver-side, no Spark job)
-        write_logical = StructType.fromJson(
-            json.loads(self.manifest["schemas"][str(file_schema_id)])
-        )
-        bounds_by_bucket = {
-            b: _harvest_col_bounds([os.path.join(snap_abs, f"_b={b}")],
-                                   write_logical)
-            for b in touched_buckets
-            if b in written
-        }
+        # zone maps: per-bucket column min/max, driver-side footer reads.
+        # collect_stats=False on hot per-batch merge paths (the harvest's
+        # per-rowgroup Python loop costs real driver seconds on a
+        # many-batch replay); maintenance commits (compaction, split,
+        # overwrite) keep it on, and analyze() backfills anything missed.
+        bounds_by_bucket: dict = {}
+        if collect_stats:
+            write_logical = StructType.fromJson(
+                json.loads(self.manifest["schemas"][str(file_schema_id)])
+            )
+            bounds_by_bucket = {
+                b: _harvest_col_bounds([os.path.join(snap_abs, f"_b={b}")],
+                                       write_logical)
+                for b in touched_buckets
+                if b in written
+            }
         touched_strs = {str(b) for b in touched_buckets}
 
         lineage_rel = None
