@@ -95,13 +95,34 @@ def bench_cdc_throughput(
 
         log = spark.read.parquet(events_dir)
 
-        # steady-state merge-on-read path (delta commits, O(batch) writes)
-        t_mor = IceboxTable.create(
-            spark, os.path.join(work, "t_mor"), BASE_SCHEMA, n_buckets=n_buckets
+        # untimed write-path warmup: the query _warmup covers scan/window/
+        # agg codegen but NOT the parquet-write + commit paths, so the
+        # first replay in a fresh JVM used to absorb their JIT (same
+        # measurement-order artifact as the r2 window_lww case). A tiny
+        # replay exercises dedup→delta-write→commit once, untimed.
+        warm_ev = gen_event_log(spark, 50_000, 5_000, batch_size=25_000,
+                                hot_frac=0.10)
+        t_w = IceboxTable.create(
+            spark, os.path.join(work, "t_warm"), BASE_SCHEMA, n_buckets=n_buckets
         )
-        t0 = time.perf_counter()
-        t_mor = replay_log(t_mor, log, n_salts=n_salts, merge_strategy="delta")
-        mor_sec = time.perf_counter() - t0
+        replay_log(t_w, warm_ev, n_salts=n_salts, merge_strategy="delta")
+
+        # steady-state merge-on-read path (delta commits, O(batch)
+        # writes): 2 reps on fresh tables, median reported — this VM's
+        # same-hour drift is the dominant error bar (BENCH/BASELINE.md),
+        # and single-shot numbers have whipsawed across rounds for
+        # machine, not engine, reasons. Raw reps ride along.
+        mor_reps = []
+        for rep in range(2):
+            t_mor = IceboxTable.create(
+                spark, os.path.join(work, f"t_mor{rep}"), BASE_SCHEMA,
+                n_buckets=n_buckets,
+            )
+            t0 = time.perf_counter()
+            t_mor = replay_log(t_mor, log, n_salts=n_salts,
+                               merge_strategy="delta")
+            mor_reps.append(time.perf_counter() - t0)
+        mor_sec = sum(mor_reps) / len(mor_reps)
         t0 = time.perf_counter()
         t_mor = t_mor.compact_if_needed(ratio=0.5)
         compact_sec = time.perf_counter() - t0
@@ -119,6 +140,7 @@ def bench_cdc_throughput(
             "cdc_events": n_events,
             "cdc_batches": n_batches,
             "cdc_apply_sec": round(mor_sec, 3),
+            "cdc_apply_sec_reps": [round(s, 3) for s in mor_reps],
             "cdc_events_per_sec": round(n_events / mor_sec, 1),
             "cdc_compact_sec": round(compact_sec, 3),
             "cdc_apply_cow_sec": round(cow_sec, 3),
