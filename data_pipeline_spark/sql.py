@@ -43,10 +43,19 @@ def register(
     snapshot_id: int | None = None,
     internal: bool = False,
     ref: str | None = None,
+    where: list[tuple] | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Expose the table (at its snapshot, an older one, or a named ref —
     the `FOR VERSION AS OF 'tag-name'` form) as a temp view for
-    spark.sql. Returns the registered DataFrame."""
+    spark.sql. Returns the registered DataFrame.
+
+    where/columns push manifest-level zone-map pruning and through-merge
+    projection into the VIEW itself (see IceboxTable.read): SQL
+    predicates over the view are Catalyst-pushed into clean scans
+    automatically, but only the manifest knows how to skip whole delta
+    commits or narrow the MoR payload struct — registering a
+    pre-filtered/projected view is how SQL consumers get that."""
     t = table
     if ref is not None or (
         snapshot_id is not None and snapshot_id != table.snapshot_id
@@ -54,7 +63,7 @@ def register(
         t = IceboxTable.load(
             table.spark, table.root, snapshot_id=snapshot_id, ref=ref
         )
-    df = t.read(internal=internal)
+    df = t.read(internal=internal, where=where, columns=columns)
     df.createOrReplaceTempView(name)
     return df
 

@@ -88,3 +88,18 @@ def test_projection_with_schema_evolution(spark, tdir):
     want = sorted(map(tuple,
                       t.read().select("doc_id", "len_tok").collect()))
     assert got == want
+
+
+def test_sql_view_with_where_and_columns(spark, tdir):
+    from data_pipeline_spark.sql import register
+
+    t = _mor_table(spark, tdir)
+    register(t, "docs_narrow", where=[("n_tok", ">=", 58)],
+             columns=["doc_id", "n_tok"])
+    got = spark.sql(
+        "SELECT doc_id, n_tok FROM docs_narrow ORDER BY doc_id"
+    ).collect()
+    want = (t.read().filter(F.col("n_tok") >= 58)
+            .select("doc_id", "n_tok").orderBy("doc_id").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert "tokens" not in _scan_cols(spark.table("docs_narrow"))
