@@ -219,6 +219,35 @@ def _dedup_with_stats(ev: DataFrame, key: str, table: IceboxTable) -> DataFrame:
     )
 
 
+def _quarantine_split(ev: DataFrame, key: str, batch_id, quarantine_dir: str):
+    """Dead-letter split (see apply_batch quarantine_dir): route malformed
+    events to `quarantine_dir/batch_id=<id>/` with a reason column and
+    return only the valid remainder. The guard count means well-formed
+    batches pay nothing beyond one cheap aggregate; the per-batch
+    OVERWRITE makes crash-replays idempotent on the DLQ."""
+    import os
+
+    bad_pred = _bad_event_pred(key)
+    n_bad = ev.filter(bad_pred).count()
+    if not n_bad:
+        return ev
+    reason = (
+        F.when(
+            ~F.coalesce(F.col("op").isin(list(OP_RANK)), F.lit(False)),
+            F.lit("unknown_op"),
+        )
+        .when(F.col("lsn").isNull(), F.lit("null_lsn"))
+        .otherwise(F.lit(f"null_{key}"))
+    )
+    (
+        ev.filter(bad_pred)
+        .withColumn("_quarantine_reason", reason)
+        .write.mode("overwrite")
+        .parquet(os.path.join(quarantine_dir, f"batch_id={batch_id}"))
+    )
+    return ev.filter(~bad_pred)
+
+
 def apply_batch(
     table: IceboxTable,
     events: DataFrame,
@@ -228,8 +257,23 @@ def apply_batch(
     dedup_strategy: str = "agg",
     merge_strategy: str = "auto",
     retry_on_conflict: int = 0,
+    quarantine_dir: str | None = None,
 ) -> IceboxTable:
     """Apply one change batch; returns the table at the new snapshot.
+
+    quarantine_dir: dead-letter queue. Default (None) keeps the strict
+    contract — ANY malformed event (unknown op, null lsn, null key)
+    rejects the whole batch with a schema-evolution rollback, leaving no
+    trace. With a directory set, malformed rows are instead written to
+    `quarantine_dir/batch_id=<id>/` (with a `_quarantine_reason` column)
+    and the valid remainder applies normally — the production binlog
+    shape, where one producer bug must not stall the feed. The
+    quarantine write OVERWRITES its own batch subdir, so a crash-replay
+    of the batch is idempotent on both the table (tag) and the DLQ
+    (per-batch overwrite); lineage still counts the quarantined rows
+    via the batch summary. Costs one extra scan of the raw events ONLY
+    when malformed rows are actually present (a cheap bad-count
+    aggregate guards the split).
 
     Exactly-once: the commit is tagged `{tag_prefix}:{batch_id}`; if that
     tag is already committed the whole call is a no-op (idempotent replay
@@ -268,6 +312,8 @@ def apply_batch(
     saved_schema_id = table.manifest["current_schema_id"]
     saved_schemas = dict(table.manifest["schemas"])
     ev = normalize_events(events, table)
+    if quarantine_dir is not None:
+        ev = _quarantine_split(ev, key, batch_id, quarantine_dir)
     if merge_strategy == "delta" and dedup_strategy == "agg":
         # fused fast path: ONE heavy job (scan → dedup agg → sorted delta
         # write, per-winner stats riding along as extra parquet columns),

@@ -46,6 +46,7 @@ def run_stream(
     merge_mode: str = "row",
     agg_specs: dict[str, str] | None = None,
     event_transform=None,
+    quarantine_dir: str | None = None,
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
@@ -116,6 +117,10 @@ def run_stream(
     the tag guards the COMMIT, not the transform. The transform's output
     must match the TABLE schema (plus lsn/op); the raw event schema may
     differ — pass that as events_schema.
+
+    quarantine_dir: dead-letter queue for malformed events (row-mode
+    only; see apply_batch) — without it one producer bug rejects its
+    whole epoch and stalls the stream at that file.
     """
 
     if merge_mode not in ("row", "partial", "aggregate"):
@@ -152,6 +157,7 @@ def run_stream(
                 n_salts=n_salts,
                 tag_prefix=f"stream:{query_name}",
                 merge_strategy=merge_strategy,
+                quarantine_dir=quarantine_dir,
             )
         if dedup_index is not None:
             import pyspark.sql.functions as F
