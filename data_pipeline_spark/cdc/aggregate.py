@@ -148,6 +148,7 @@ def apply_batch_agg(
     tag_prefix: str = "batch",
     merge_strategy: str = "delta",
     retry_on_conflict: int = 0,
+    enforce_order: bool = False,
 ) -> IceboxTable:
     """Apply one change batch folding each column per its spec; returns
     the table at the new snapshot. Exactly-once tags, lineage, schema
@@ -171,6 +172,7 @@ def apply_batch_agg(
         tag_prefix=tag_prefix,
         merge_strategy=merge_strategy,
         retry_on_conflict=retry_on_conflict,
+        enforce_order=enforce_order,
     )
 
 

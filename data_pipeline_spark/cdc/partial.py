@@ -132,6 +132,7 @@ def apply_batch_partial(
     tag_prefix: str = "batch",
     merge_strategy: str = "delta",
     retry_on_conflict: int = 0,
+    enforce_order: bool = False,
 ) -> IceboxTable:
     """Apply one SPARSE change batch with column-level LWW; returns the
     table at the new snapshot. Same exactly-once tag contract, lineage
@@ -167,6 +168,7 @@ def apply_batch_partial(
         tag_prefix=tag_prefix,
         merge_strategy=merge_strategy,
         retry_on_conflict=retry_on_conflict,
+        enforce_order=enforce_order,
     )
 
 
@@ -180,6 +182,7 @@ def _apply_columnar(
     tag_prefix: str = "batch",
     merge_strategy: str = "delta",
     retry_on_conflict: int = 0,
+    enforce_order: bool = False,
 ) -> IceboxTable:
     """Shared columnar-merge core (partial-update AND aggregation merge
     engines — see cdc/aggregate.py). fold_fn(ev, key, cols) must return
@@ -209,6 +212,7 @@ def _apply_columnar(
             .agg(
                 F.sum("_n_ev").alias("events_applied"),
                 F.max("_wm").alias("lsn_watermark"),
+                F.min("_wm").alias("_wm_min"),
                 F.sum("_bad").alias("bad_events"),
                 F.count(F.lit(1)).alias("n"),
                 F.sum((~F.col("_live")).cast("long")).alias("n_dels"),
@@ -234,6 +238,33 @@ def _apply_columnar(
                 summary={"operation": "merge", "events": 0},
                 retry_on_conflict=retry_on_conflict,
             )
+
+        # optional in-order transport check: the columnar engines require
+        # LSN-ordered batches; an entirely-stale key is rendered HARMLESS
+        # by the row-level fresh/stale guard below, but its presence
+        # proves the transport is delivering out of order — and a key
+        # MIXING stale and fresh lsns in one batch folds stale column
+        # values silently (the disclosed columnar hole). enforce_order
+        # turns the detectable symptom (some key's newest lsn at or below
+        # the previous same-mode merge's global watermark) into a loud
+        # refusal so the disorder is caught before the mixed case bites.
+        # The watermark chain resets across non-columnar commits
+        # (compaction, rollback, row-mode merges).
+        if enforce_order:
+            prev = table.manifest.get("summary") or {}
+            if prev.get("mode") == mode and prev.get("lsn_watermark") is not None:
+                batch_min = min(int(r["_wm_min"]) for r in stats if r["n"])
+                if batch_min <= int(prev["lsn_watermark"]):
+                    table.manifest["current_schema_id"] = saved_schema_id
+                    table.manifest["schemas"] = saved_schemas
+                    raise ValueError(
+                        f"batch {batch_id}: out-of-order feed — a key's "
+                        f"newest lsn {batch_min} is <= the previous "
+                        f"{mode}-merge watermark {prev['lsn_watermark']}; "
+                        "the columnar engines require LSN-ordered batches "
+                        "(use merge_mode='row' for order-independent "
+                        "transports)"
+                    )
 
         delta_mode = merge_strategy == "delta"
         old = table.read(buckets=touched, internal=True)
@@ -304,6 +335,10 @@ def _apply_columnar(
             "touched_buckets": len(touched),
             "bucket_ids": sorted(touched),
             "winners": sum(int(r["n"]) for r in stats),
+            # feeds the next batch's in-order enforcement (above)
+            "lsn_watermark": max(
+                int(r["lsn_watermark"]) for r in stats if r["n"]
+            ),
         }
         if delta_mode:
             bucket_rows = {int(r["_b"]): int(r["n"]) for r in stats}

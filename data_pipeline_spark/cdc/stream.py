@@ -132,6 +132,11 @@ def run_stream(
         if event_transform is not None:
             batch_df = event_transform(batch_df)
         table = IceboxTable.load(spark, table_root)
+        # columnar modes REQUIRE in-order epochs (see module docstring);
+        # on a stream the ordered-transport contract is load-bearing, so
+        # disorder refuses loudly (enforce_order) instead of silently
+        # risking the mixed-lsn columnar fold — replayed epochs are tag
+        # no-ops and never trip it
         if merge_mode == "partial":
             table = apply_batch_partial(
                 table,
@@ -139,6 +144,7 @@ def run_stream(
                 batch_id=epoch_id,
                 tag_prefix=f"stream:{query_name}",
                 merge_strategy=merge_strategy,
+                enforce_order=True,
             )
         elif merge_mode == "aggregate":
             table = apply_batch_agg(
@@ -148,6 +154,7 @@ def run_stream(
                 specs=agg_specs,
                 tag_prefix=f"stream:{query_name}",
                 merge_strategy=merge_strategy,
+                enforce_order=True,
             )
         else:
             table = apply_batch(

@@ -241,3 +241,37 @@ def test_partial_changes_feed_composes(spark, tdir):
     assert chg["update_post"]["n_tok"] == 5
     assert list(chg["update_post"]["tokens"]) == [1]
     assert chg["update_post"]["source"] == "a"
+
+
+def test_out_of_order_batch_refused(spark, tdir):
+    """The columnar engines require LSN-ordered batches; a late batch
+    whose keys' newest lsns predate the previous merge's watermark must
+    refuse loudly instead of folding stale columns silently."""
+    t = IceboxTable.create(spark, os.path.join(tdir, "ooo"), BASE_SCHEMA,
+                           n_buckets=2)
+
+    def ev(rows):
+        return spark.createDataFrame(rows, EV_DDL)
+
+    t = apply_batch_partial(t, ev([
+        (100, 0, "upsert", "a", [1], 1, "s"),
+        (101, 0, "upsert", "b", [2], 2, "s"),
+    ]), 0, enforce_order=True)
+    assert t.manifest["summary"]["lsn_watermark"] == 101
+    # a late batch (all lsns below the watermark) refuses
+    with pytest.raises(ValueError, match="out-of-order"):
+        apply_batch_partial(t, ev([(50, 1, "upsert", "a", [9], 1, "s")]), 1,
+                            enforce_order=True)
+    # in-order continuation still applies
+    t = apply_batch_partial(t, ev([(200, 2, "upsert", "a", [3], 1, "s")]), 2,
+                            enforce_order=True)
+    assert t.manifest["summary"]["lsn_watermark"] == 200
+    # replay of a committed tag returns BEFORE the check (no false alarm)
+    assert apply_batch_partial(t, ev([
+        (100, 0, "upsert", "a", [1], 1, "s"),
+    ]), 0, enforce_order=True).snapshot_id == t.snapshot_id
+    # default (enforce_order=False): the graceful row-guard contract —
+    # an entirely-stale batch applies as a harmless no-op
+    t2 = apply_batch_partial(t, ev([(60, 3, "upsert", "a", [7], 1, "s")]), 3)
+    row = {r["doc_id"]: list(r["tokens"]) for r in t2.read().collect()}
+    assert row["a"] == [3]
