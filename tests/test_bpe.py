@@ -121,3 +121,29 @@ def test_encode_plan_is_arrow_batched(spark):
     plan = bpe_encode(_docs(spark), model)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_incremental_trainer_parity_randomized():
+    """Property: the incremental pair-count trainer equals the recount-
+    from-scratch reference on random histograms (overlaps, repeats,
+    single-char words, ties). Pure Python — no Spark."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abc"
+    for trial in range(200):
+        n_words = rng.randint(1, 12)
+        hist = []
+        seen = set()
+        for _ in range(n_words):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 8)))
+            if w in seen:
+                continue
+            seen.add(w)
+            hist.append((w, rng.randint(1, 9)))
+        hist.sort(key=lambda kv: (-kv[1], kv[0]))
+        n_merges = rng.randint(1, 10)
+        got = train_from_histogram(list(hist), n_merges)
+        want = _naive_merges(hist, n_merges)
+        assert got == want, (trial, hist, n_merges, got, want)
