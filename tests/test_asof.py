@@ -1,0 +1,121 @@
+"""As-of join: correctness vs a naive per-row reference, edge cases, and
+the single-shuffle plan contract."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators.asof import asof_join
+
+
+def _naive_asof(probe, build, direction="backward", allow_exact=True):
+    """O(n*m) reference: for each probe row pick the matching build row."""
+    out = []
+    for k, pts, pid in probe:
+        best = None
+        for bk, bts, bv in build:
+            if bk != k or bts is None:
+                continue
+            if direction == "backward":
+                ok = bts <= pts if allow_exact else bts < pts
+            else:
+                ok = bts >= pts if allow_exact else bts > pts
+            if not ok or pts is None:
+                continue
+            if best is None:
+                best = (bts, bv)
+            elif direction == "backward" and (
+                bts > best[0] or (bts == best[0] and bv > best[1])
+            ):
+                best = (bts, bv)
+            elif direction == "forward" and (
+                bts < best[0] or (bts == best[0] and bv > best[1])
+            ):
+                best = (bts, bv)
+        out.append((k, pts, pid, best[0] if best else None, best[1] if best else None))
+    return sorted(out)
+
+
+def _run(spark, probe_rows, build_rows, **kw):
+    p = spark.createDataFrame(probe_rows, "k int, ts int, pid int")
+    b = spark.createDataFrame(build_rows, "k int, ts int, bv int")
+    res = asof_join(p, b, on="k", probe_ts="ts", tiebreak="bv", **kw)
+    return sorted(
+        (r.k, r.ts, r.pid, r.ts_asof, r.bv_asof)
+        for r in res.collect()
+    )
+
+
+def test_backward_basic(spark):
+    probe = [(1, 5, 100), (1, 10, 101), (2, 3, 102)]
+    build = [(1, 5, 7), (1, 9, 8), (2, 99, 9)]
+    assert _run(spark, probe, build) == _naive_asof(probe, build)
+    # explicit expectations: exact-instant match, latest-preceding, no match
+    assert _run(spark, probe, build) == [
+        (1, 5, 100, 5, 7),
+        (1, 10, 101, 9, 8),
+        (2, 3, 102, None, None),
+    ]
+
+
+def test_strict_inequality_excludes_exact_instant(spark):
+    probe = [(1, 5, 100)]
+    build = [(1, 5, 7), (1, 4, 6)]
+    assert _run(spark, probe, build, allow_exact=False) == [(1, 5, 100, 4, 6)]
+
+
+def test_forward_direction(spark):
+    probe = [(1, 5, 100), (1, 10, 101), (2, 3, 102)]
+    build = [(1, 5, 7), (1, 9, 8), (2, 1, 9)]
+    got = _run(spark, probe, build, direction="forward")
+    assert got == _naive_asof(probe, build, direction="forward")
+    assert got == [(1, 5, 100, 5, 7), (1, 10, 101, None, None), (2, 3, 102, None, None)]
+
+
+def test_equal_ts_build_rows_largest_tiebreak_wins(spark):
+    probe = [(1, 10, 100)]
+    build = [(1, 7, 3), (1, 7, 9), (1, 7, 5)]
+    assert _run(spark, probe, build) == [(1, 10, 100, 7, 9)]
+
+
+def test_randomized_parity_vs_naive(spark):
+    rng = random.Random(42)
+    keys = [1, 2, 3]
+    probe = [
+        (rng.choice(keys), rng.randrange(0, 50), i) for i in range(120)
+    ]
+    build = [
+        (rng.choice(keys), rng.randrange(0, 50), i) for i in range(80)
+    ]
+    for direction in ("backward", "forward"):
+        for allow_exact in (True, False):
+            got = _run(
+                spark, probe, build, direction=direction, allow_exact=allow_exact
+            )
+            want = _naive_asof(
+                probe, build, direction=direction, allow_exact=allow_exact
+            )
+            assert got == want, (direction, allow_exact)
+
+
+def test_null_probe_ts_yields_no_match(spark):
+    probe = [(1, None, 100)]
+    build = [(1, 5, 7)]
+    assert _run(spark, probe, build) == [(1, None, 100, None, None)]
+
+
+def test_single_shuffle_plan(spark):
+    """The whole as-of join is ONE hashpartitioning exchange + one Window —
+    the scale contract the docstring promises."""
+    p = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts"), F.col("id").alias("pid")
+    )
+    b = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"), F.col("id").alias("bv")
+    )
+    plan = asof_join(p, b, on="k", probe_ts="ts")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+    assert "Join" not in plan  # never a pairwise join

@@ -80,6 +80,15 @@ AUDITED = {
             r"WindowGroupLimit[\s\S]{0,200}?row_number\(\), 1, Partial",
         ),
     ],
+    "asof_join": [
+        (
+            "ONE exchange, keyed on the join key (union+window fill — "
+            "never a pairwise temporal join)",
+            r"hashpartitioning\(user_id",
+        ),
+        ("no join node anywhere in the plan", r"!(?:SortMerge|BroadcastHash|BroadcastNestedLoop)Join"),
+        ("window fill carries the build payload", r"Window"),
+    ],
     "dedup_exact": [("partial agg (map-side combine)", r"partial_")],
     "tok_corpus": [
         ("explode then partial count before exchange", r"partial_count"),
