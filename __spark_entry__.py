@@ -61,6 +61,7 @@ from data_pipeline_spark.functions.portable import (
 )
 from data_pipeline_spark.operators import inference as I
 from data_pipeline_spark.operators.asof import asof_join
+from data_pipeline_spark.operators import stats as ST
 from data_pipeline_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -811,51 +812,67 @@ WHERE rank <= 10
 """
 
 
-def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 scalar surface: when/otherwise (F13), concat (F16),
-    substring (F15), round (F14), unit conversion (F12)."""
+def q_scalar_group_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar surface + A4 grouped collection, folded to one labeled
+    frame so both keep a driver-checked row under the 50-query cap (the
+    freed slot hosts corpus_stats):
+
+      ('scalar', p_partkey, …)  when/otherwise (F13), concat (F16),
+        substring (F15), round (F14), unit conversion (F12) over part
+      ('collect', user_id, …)   sorted distinct set as a joined string —
+        the reference's grid→counties list build (geocode app.js:108-117)
+    """
     p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.when(F.col("p_size") < 15, "small")
-        .when(F.col("p_size") < 35, "medium")
-        .otherwise("large")
-        .alias("size_cat"),
-        F.concat(F.substring("p_brand", 1, 5), F.lit("/"), F.col("p_type")).alias(
-            "brand_type"
-        ),
-        F.round(F.col("p_retailprice") / 3.281, 2).alias("price_per_m"),
-        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+    scalar = p.select(
+        F.lit("scalar").alias("fam"),
+        F.col("p_partkey").alias("k"),
+        F.concat(
+            F.when(F.col("p_size") < 15, "small")
+            .when(F.col("p_size") < 35, "medium")
+            .otherwise("large"),
+            F.lit("|"),
+            F.substring("p_brand", 1, 5),
+            F.lit("/"),
+            F.col("p_type"),
+            F.lit("|"),
+            F.upper(F.substring("p_name", 1, 8)),
+        ).alias("s"),
+        F.round(F.col("p_retailprice") / 3.281, 2).alias("x"),
     )
-
-
-_SQL_SCALAR_FUNCS = """
-SELECT p_partkey,
-       CASE WHEN p_size < 15 THEN 'small' WHEN p_size < 35 THEN 'medium' ELSE 'large' END AS size_cat,
-       substr(p_brand, 1, 5) || '/' || p_type AS brand_type,
-       round(p_retailprice / 3.281, 2) AS price_per_m,
-       upper(substr(p_name, 1, 8)) AS name_prefix
-FROM part
-"""
-
-
-def q_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 grouped collection (the reference's grid→counties list build,
-    geocode app.js:108-117): sorted distinct set as a joined string."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
-            "event_types"
-        ),
+    collect = e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("s"),
+        F.count(F.lit(1)).cast("double").alias("x"),
+    ).select(
+        F.lit("collect").alias("fam"), F.col("user_id").alias("k"), "s", "x"
     )
+    return scalar.unionByName(collect)
 
 
-_SQL_GROUP_COLLECT = """
-SELECT user_id, count(*) AS n_events,
-       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+_SQL_SCALAR_GROUP_FUNCS = """
+SELECT 'scalar' AS fam, p_partkey AS k,
+       (CASE WHEN p_size < 15 THEN 'small' WHEN p_size < 35 THEN 'medium' ELSE 'large' END)
+         || '|' || substr(p_brand, 1, 5) || '/' || p_type
+         || '|' || upper(substr(p_name, 1, 8)) AS s,
+       round(p_retailprice / 3.281, 2) AS x
+FROM part
+UNION ALL
+SELECT 'collect', user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type),
+       CAST(count(*) AS DOUBLE)
 FROM events GROUP BY user_id
 """
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (operators/stats.py): counts, volume,
+    exact p50/p95 length distribution, distinct languages — the
+    dataset-card numbers (the reference's summarize-step per-state
+    counters, summarize/app.js:60-78, as one declarative aggregate).
+    This is the EXACT anchor; the sketch twin (percentile_approx +
+    HLL++, mergeable map-side partials — the 100 TB path) is pinned to
+    it in test_stats within the sketches' error bounds."""
+    return ST.corpus_stats(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1246,7 +1263,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       rate 0.7 × quality (kept rows only; x=keep probability);
     * part='mix'    — domain rebalancing of src0/src1/src2 to a 50/30/20
       target mixture (kept rows only; grp=source, x=that source's
-      keep_rate).
+      keep_rate);
+    * part='order'  — epoch-2 training-order shard assignment
+      (curation.epoch_order: grp='shard<k>', x=the permutation key) —
+      the per-epoch reshuffle a trainer reads shard-by-shard.
 
     Everything is salted-portable-hash thresholds — no RNG — so the
     DuckDB twin reproduces the exact kept set."""
@@ -1265,7 +1285,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mix").alias("part"), did,
         F.col("source").alias("grp"), F.col("keep_rate").alias("x"),
     )
-    return sp.unionByName(sa).unionByName(mx)
+    od = C.epoch_order(docs, epoch=2, n_shards=4).select(
+        F.lit("order").alias("part"), did,
+        F.concat(F.lit("shard"), F.col("shard")).alias("grp"),
+        F.col("order_key").cast("double").alias("x"),
+    )
+    return sp.unionByName(sa).unionByName(mx).unionByName(od)
 
 
 def _sql_corpus_curation() -> str:
@@ -1299,6 +1324,11 @@ UNION ALL
 SELECT 'mix', CAST(d.doc_id AS BIGINT), d.source, keep_rate
 FROM documents d JOIN rates ON d.source = rates.source
 WHERE {u01_sql("CAST(d.doc_id AS VARCHAR)", "mix")} < keep_rate
+UNION ALL
+SELECT 'order', CAST(doc_id AS BIGINT),
+       'shard' || CAST(({h64_sql("CAST(doc_id AS VARCHAR)", "order:2")}) % 4 AS VARCHAR),
+       CAST({h64_sql("CAST(doc_id AS VARCHAR)", "order:2")} AS DOUBLE)
+FROM documents
 """
 
 
@@ -2142,8 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "window_lww": q_window_lww,
         "topk_orders": q_topk_orders,
-        "scalar_funcs": q_scalar_funcs,
-        "group_collect": q_group_collect,
+        "scalar_group_funcs": q_scalar_group_funcs,
+        "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2203,8 +2233,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "window_lww": _SQL_WINDOW_LWW,
         "topk_orders": _SQL_TOPK_ORDERS,
-        "scalar_funcs": _SQL_SCALAR_FUNCS,
-        "group_collect": _SQL_GROUP_COLLECT,
+        "scalar_group_funcs": _SQL_SCALAR_GROUP_FUNCS,
+        "corpus_stats": ST.stats_sql(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,

@@ -153,3 +153,65 @@ def domain_mix(
     out = df.join(F.broadcast(rates), domain_col)
     kept = u01(F.col(id_col).cast("string"), salt) < F.col("keep_rate")
     return out.filter(kept)
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "order",
+) -> DataFrame:
+    """Deterministic training-order shuffle + shard assignment for one
+    epoch: ``order_key = h64(id, salt:epoch)``, ``shard = order_key mod
+    n_shards``. Reading shard s ordered by order_key IS the epoch's
+    global random permutation restricted to that shard — so a trainer
+    with n_shards data loaders sees a reshuffled corpus every epoch with
+    NO shuffle service, no RNG state, and bit-identical order on any
+    cluster size (the property the epoch-varying salt inherits from the
+    portable hash; same construction as quality_weighted_sample above).
+
+    The reference's analog is the per-state file fan-out its training
+    consumers read (county-splits/app.js one-file-per-county); the
+    epoch-salted hash upgrades that static layout to a per-epoch
+    permutation without rewriting data.
+
+    At 100 TB: this projection rides the scan; materializing an epoch is
+    ONE repartition(n_shards, shard) + sortWithinPartitions(order_key)
+    write — a single shuffle, and only when the trainer wants physical
+    files (write_epoch). Hash collisions across doc_ids are broken by
+    the id tiebreak in write_epoch's sort, keeping the order total and
+    reproducible.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = h64(F.col(id_col).cast("string"), f"{salt}:{epoch}")
+    return df.select(
+        "*",
+        key.alias("order_key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+
+def write_epoch(
+    df: DataFrame,
+    path: str,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "order",
+) -> None:
+    """Materialize one epoch's training order: one directory per shard
+    (`shard=k/`), each file internally sorted by the epoch's permutation
+    key. One shuffle. repartition hashes the shard VALUE, so two shards
+    may share a task — partitionBy still lands them in separate
+    directories, and the (shard, order_key) task sort keeps every
+    output file sorted."""
+    ordered = epoch_order(df, epoch, n_shards, id_col=id_col, salt=salt)
+    (
+        ordered.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "order_key", id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
