@@ -62,6 +62,29 @@ def _warmup(spark, sf_dir: str) -> None:
     w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
     _force(e.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1))
     _force(e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    _warm_write_paths(spark)
+
+
+def _warm_write_paths(spark) -> None:
+    """Untimed warmup of the parquet-write + icebox-commit paths (delta
+    AND copy-on-write): the replay-style queries (cdc_* replays,
+    dedup_incremental) each build a table, and profiling showed the FIRST
+    tiny apply_batch in a fresh JVM costs ~6s vs ~1s warm — all
+    write/commit JIT, the same measurement-order artifact _warmup already
+    fixes for scan/window/agg. One 50k-event replay through each merge
+    path absorbs it outside any timed window."""
+    work = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        warm_ev = gen_event_log(spark, 50_000, 5_000, batch_size=25_000,
+                                hot_frac=0.10)
+        for strat in ("delta", "auto"):
+            t_w = IceboxTable.create(
+                spark, os.path.join(work, f"w_{strat}"), BASE_SCHEMA,
+                n_buckets=16,
+            )
+            replay_log(t_w, warm_ev, merge_strategy=strat)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -128,13 +151,20 @@ def bench_cdc_throughput(
         compact_sec = time.perf_counter() - t0
         final_rows = t_mor.read().count()
 
-        # copy-on-write broadcast-join path (r01 protocol, comparable)
-        t_cow = IceboxTable.create(
-            spark, os.path.join(work, "t_cow"), BASE_SCHEMA, n_buckets=n_buckets
-        )
-        t0 = time.perf_counter()
-        t_cow = replay_log(t_cow, log, n_salts=n_salts)
-        cow_sec = time.perf_counter() - t0
+        # copy-on-write broadcast-join path (r01 protocol, comparable).
+        # 2 reps averaged, like MoR: a single-shot CoW number whipsawed
+        # 16.9→41s across identical code (r3→r4 A/B showed NO code-path
+        # delta at 4M events — the spread was all machine variance).
+        cow_reps = []
+        for rep in range(2):
+            t_cow = IceboxTable.create(
+                spark, os.path.join(work, f"t_cow{rep}"), BASE_SCHEMA,
+                n_buckets=n_buckets,
+            )
+            t0 = time.perf_counter()
+            t_cow = replay_log(t_cow, log, n_salts=n_salts)
+            cow_reps.append(time.perf_counter() - t0)
+        cow_sec = sum(cow_reps) / len(cow_reps)
 
         return {
             "cdc_events": n_events,
@@ -144,6 +174,7 @@ def bench_cdc_throughput(
             "cdc_events_per_sec": round(n_events / mor_sec, 1),
             "cdc_compact_sec": round(compact_sec, 3),
             "cdc_apply_cow_sec": round(cow_sec, 3),
+            "cdc_apply_cow_sec_reps": [round(s, 3) for s in cow_reps],
             "cdc_events_per_sec_cow": round(n_events / cow_sec, 1),
             "cdc_final_rows": final_rows,
         }

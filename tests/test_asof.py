@@ -119,3 +119,95 @@ def test_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan
     assert "Join" not in plan  # never a pairwise join
+
+
+def test_asof_enrichment_on_streaming_spine(spark, tdir):
+    """Dimension enrichment on the CDC spine: event_transform asof-joins
+    each change event to the dimension version in effect AT ITS LSN (the
+    feature-store lookup made in-stream). The merged table then carries
+    the dimension column; exactly-once still holds because the tag
+    guards the commit, and the transform is deterministic."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_pipeline_spark.cdc.stream import run_stream
+    from data_pipeline_spark.icebox import IceboxTable
+
+    # slowly-changing dimension: source weight re-versioned at LSNs 0/40/80
+    dim = spark.createDataFrame(
+        [("src0", 0, 10), ("src0", 40, 11), ("src0", 80, 12),
+         ("src1", 0, 20), ("src1", 50, 21)],
+        "source string, lsn long, dim_v int",
+    )
+
+    raw_schema = StructType([
+        StructField("lsn", LongType()),
+        StructField("op", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+    ])
+    rows = [
+        (lsn, "upsert", f"d{lsn % 7}", [lsn, lsn + 1], 2,
+         "src0" if lsn % 2 == 0 else "src1")
+        for lsn in range(100)
+    ]
+    ev = spark.createDataFrame(rows, raw_schema).withColumn(
+        "batch_id", (F.col("lsn") / 25).cast("int")
+    )
+    ev_dir = os.path.join(tdir, "events")
+    ev.write.partitionBy("batch_id").parquet(ev_dir)
+
+    table_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+        StructField("dim_v", IntegerType()),
+    ])
+
+    def enrich(df):
+        out = asof_join(df, dim, on="source", probe_ts="lsn",
+                        build_cols=["dim_v"])
+        return out.withColumn("dim_v", F.col("dim_v_asof")).drop(
+            "dim_v_asof", "lsn_asof"
+        )
+
+    root = os.path.join(tdir, "t")
+    ckpt = os.path.join(tdir, "ck")
+    IceboxTable.create(spark, root, table_schema, n_buckets=4)
+    run_stream(spark, ev_dir, raw_schema, root, ckpt, query_name="enrich",
+               max_files_per_trigger=2, merge_strategy="delta",
+               event_transform=enrich)
+
+    t = IceboxTable.load(spark, root)
+    got = {r["doc_id"]: r for r in t.read().collect()}
+    assert len(got) == 7
+    # LWW winner per doc is its max lsn; dim version = latest <= that lsn
+    def want_dim(lsn, src):
+        vers = [(l, v) for s, l, v in
+                [("src0", 0, 10), ("src0", 40, 11), ("src0", 80, 12),
+                 ("src1", 0, 20), ("src1", 50, 21)] if s == src and l <= lsn]
+        return max(vers)[1]
+
+    for d, r in got.items():
+        win_lsn = max(l for l in range(100) if f"d{l % 7}" == d)
+        src = "src0" if win_lsn % 2 == 0 else "src1"
+        assert r["dim_v"] == want_dim(win_lsn, src), (d, win_lsn, r)
+
+    # replay: no new snapshots, same content
+    sid = t.snapshot_id
+    run_stream(spark, ev_dir, raw_schema, root, ckpt, query_name="enrich2",
+               max_files_per_trigger=2, merge_strategy="delta",
+               event_transform=enrich)
+    assert IceboxTable.load(spark, root).snapshot_id == sid
