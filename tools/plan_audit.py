@@ -89,6 +89,13 @@ AUDITED = {
         ("no join node anywhere in the plan", r"!(?:SortMerge|BroadcastHash|BroadcastNestedLoop)Join"),
         ("window fill carries the build payload", r"Window"),
     ],
+    "range_join": [
+        (
+            "never a nested loop / cartesian (grid cells make it an equi-join)",
+            r"!(?:CartesianProduct|BroadcastNestedLoopJoin)",
+        ),
+        ("join keyed on the (user, grid-cell) composite", r"_cell"),
+    ],
     "dedup_exact": [("partial agg (map-side combine)", r"partial_")],
     "tok_corpus": [
         ("explode then partial count before exchange", r"partial_count"),
