@@ -12,8 +12,8 @@ per-(key, point-in-time) instead of global).
 Spark-first plan (no UDFs, ONE shuffle):
   union(probe, build) tagged by side
     -> Window.partitionBy(keys).orderBy(ts, side_tiebreak)
-       last(build_col, ignorenulls=True) rowsBetween(unboundedPreceding,
-       currentRow)
+       last(build_payload_struct, ignorenulls=True)
+       rowsBetween(unboundedPreceding, currentRow)
     -> filter side == probe
 The window fill carries the latest build payload forward onto every later
 probe row of the same key, which IS the as-of semantics. Catalyst plans
@@ -79,12 +79,19 @@ def asof_join(
 
     # _side orders probe vs build rows at EQUAL timestamps: the window fill
     # must see the build row first iff exact-instant matches are allowed.
+    # The build payload travels as ONE struct (non-null for every build
+    # row, null for probe rows): filling per-column would let a build
+    # row's legitimately-NULL value fall through to an OLDER row's value
+    # for just that column — mixing columns across build rows. The struct
+    # fill picks the whole winning row atomically.
     b = build.filter(F.col(build_ts).isNotNull()).select(
         *[F.col(k) for k in on],
         F.col(build_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(build_ts).alias(out_ts),
-        *[F.col(c).alias(o) for c, o in zip(build_cols, payload)],
+        F.struct(
+            F.col(build_ts).alias(out_ts),
+            *[F.col(c).alias(o) for c, o in zip(build_cols, payload)],
+        ).alias("_bpay"),
     )
     p = probe.select(
         "*",
@@ -104,7 +111,7 @@ def asof_join(
     if tiebreak is not None:
         # among equal-ts build rows the LAST one the fill sees wins ->
         # ascending puts the largest tiebreak closest to the probe row.
-        order.append(F.col(f"{tiebreak}{suffix}").asc_nulls_first())
+        order.append(F.col(f"_bpay.{tiebreak}{suffix}").asc_nulls_first())
 
     w = (
         Window.partitionBy(*on)
@@ -112,17 +119,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in [out_ts, *payload]
-        ],
+        "*", F.last("_bpay", ignorenulls=True).over(w).alias("_f")
     )
     keep = [c for c in probe.columns]
     return (
         filled.filter(F.col("_side") == 1)
         .select(
             *keep,
-            *[F.col(f"_f_{c}").alias(c) for c in [out_ts, *payload]],
+            *[F.col(f"_f.{c}").alias(c) for c in [out_ts, *payload]],
         )
     )

@@ -21,6 +21,11 @@ and operators/text.py) and BEFORE packing (operators/tokens.py):
   (min over sources of n_s / frac_s), then each source is thinned
   deterministically to its share. One count aggregate over (source) —
   low cardinality — and one broadcast join of the O(#sources) rate frame.
+* ``stratified_take`` — EXACT per-stratum budgets (min(k, |group|) rows
+  per group) by salted-hash rank; map-side top-k contained
+  (WindowGroupLimit).
+* ``epoch_order`` / ``write_epoch`` — per-epoch deterministic
+  training-order permutation + shard materialization.
 
 Every operator is pure column expressions over the portable hash
 (functions/portable.py h64 — identical in Spark and DuckDB), so each has
@@ -214,4 +219,39 @@ def write_epoch(
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)
+    )
+
+
+def stratified_take(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "take",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically: rows
+    rank by the salted portable hash of their id (id as tie-break), so
+    the same k rows are chosen on any cluster size, any partitioning,
+    any run — a reservoir sample without RNG state, and resumable.
+
+    Complements quality_weighted_sample (probabilistic rate) and
+    domain_mix (fractional targets) with the third selection contract a
+    curation pipeline needs: per-stratum EXACT budgets ("at most 100k
+    docs per domain in the eval slice").
+
+    At 100 TB: one exchange on the group key; Spark's rank-limit pushes
+    the top-k BEFORE the exchange (WindowGroupLimit Partial — each map
+    task forwards at most k rows per group it sees), so a huge stratum
+    never funnels through one reducer unfiltered. Same automatic hot-key
+    containment the LWW window relies on (PLANS.md window_lww).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(group_col).orderBy(
+        h64(F.col(id_col).cast("string"), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )

@@ -211,3 +211,12 @@ def test_asof_enrichment_on_streaming_spine(spark, tdir):
                max_files_per_trigger=2, merge_strategy="delta",
                event_transform=enrich)
     assert IceboxTable.load(spark, root).snapshot_id == sid
+
+
+def test_null_build_payload_does_not_fall_through(spark):
+    """A build row whose payload value is legitimately NULL must win as a
+    whole row: the probe gets (matched ts, NULL), never that one column
+    from an older build row (the per-column-fill mixing bug)."""
+    probe = [(1, 10, 100)]
+    build = [(1, 5, 5), (1, 9, None)]
+    assert _run(spark, probe, build) == [(1, 10, 100, 9, None)]

@@ -103,3 +103,48 @@ def test_domain_mix_hits_targets(spark):
     assert out2.filter(F.col("source") == "c").count() == 0
     with pytest.raises(ValueError):
         domain_mix(docs, {"a": 0.4})
+
+
+def test_stratified_take_exact_budget_and_determinism(spark):
+    import duckdb
+
+    from data_pipeline_spark.functions.portable import h64_sql
+    from data_pipeline_spark.operators.curation import stratified_take
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = stratified_take(docs, 30).select("doc_id", "source")
+    rows = sorted((r["doc_id"], r["source"]) for r in got.collect())
+    # exact per-group budget
+    per = {}
+    for _, s in rows:
+        per[s] = per.get(s, 0) + 1
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {s: min(30, n) for s, n in sizes.items() if min(30, n) > 0}
+    # same set regardless of partitioning
+    again = stratified_take(docs.repartition(13), 30).select("doc_id", "source")
+    assert sorted((r["doc_id"], r["source"]) for r in again.collect()) == rows
+    # DuckDB lockstep: identical chosen set
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY {h64_sql("CAST(doc_id AS VARCHAR)", "take")}, doc_id
+          ) AS rk FROM documents) WHERE rk <= 30
+        ORDER BY doc_id
+    """).fetchall()
+    assert rows == sorted((d, s) for d, s in want)
+
+
+def test_stratified_take_plan_has_mapside_group_limit(spark):
+    from data_pipeline_spark.operators.curation import stratified_take
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        stratified_take(docs, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
