@@ -1267,7 +1267,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       keep_rate);
     * part='order'  — epoch-2 training-order shard assignment
       (curation.epoch_order: grp='shard<k>', x=the permutation key) —
-      the per-epoch reshuffle a trainer reads shard-by-shard.
+      the per-epoch reshuffle a trainer reads shard-by-shard;
+    * part='take'   — exact per-stratum budgets (curation.stratified_take,
+      k=25 per source; grp=source, x=the within-group rank) — the
+      deterministic "at most k docs per domain" eval-slice contract.
 
     Everything is salted-portable-hash thresholds — no RNG — so the
     DuckDB twin reproduces the exact kept set."""
@@ -1291,7 +1294,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("shard"), F.col("shard")).alias("grp"),
         F.col("order_key").cast("double").alias("x"),
     )
-    return sp.unionByName(sa).unionByName(mx).unionByName(od)
+    tk = C.stratified_take(docs, 25, keep_rank="rk").select(
+        F.lit("take").alias("part"), did,
+        F.col("source").alias("grp"), F.col("rk").cast("double").alias("x"),
+    )
+    return sp.unionByName(sa).unionByName(mx).unionByName(od).unionByName(tk)
 
 
 def _sql_corpus_curation() -> str:
@@ -1330,6 +1337,13 @@ SELECT 'order', CAST(doc_id AS BIGINT),
        'shard' || CAST(({h64_sql("CAST(doc_id AS VARCHAR)", "order:2")}) % 4 AS VARCHAR),
        CAST({h64_sql("CAST(doc_id AS VARCHAR)", "order:2")} AS DOUBLE)
 FROM documents
+UNION ALL
+SELECT 'take', CAST(doc_id AS BIGINT), source, CAST(rk AS DOUBLE)
+FROM (SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY {h64_sql("CAST(doc_id AS VARCHAR)", "take")}, doc_id
+      ) AS rk FROM documents)
+WHERE rk <= 25
 """
 
 

@@ -228,6 +228,7 @@ def stratified_take(
     group_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "take",
+    keep_rank: str | None = None,
 ) -> DataFrame:
     """Exactly min(k, |group|) rows per group, deterministically: rows
     rank by the salted portable hash of their id (id as tie-break), so
@@ -244,14 +245,18 @@ def stratified_take(
     task forwards at most k rows per group it sees), so a huge stratum
     never funnels through one reducer unfiltered. Same automatic hot-key
     containment the LWW window relies on (PLANS.md window_lww).
+
+    `keep_rank` optionally exposes the 1-based within-group rank as an
+    output column (for oracle lockstep / downstream ordering).
     """
     if k <= 0:
         raise ValueError("k must be positive")
     w = Window.partitionBy(group_col).orderBy(
         h64(F.col(id_col).cast("string"), salt).asc(), F.col(id_col).asc()
     )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+    out = df.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
     )
+    if keep_rank is None:
+        return out.drop("_rk")
+    return out.withColumnRenamed("_rk", keep_rank)
