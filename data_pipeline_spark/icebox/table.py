@@ -908,6 +908,7 @@ class IceboxTable:
         repartition: bool = True,
         retry_on_conflict: int = 0,
         collect_stats: bool = True,
+        sort_expr: list | None = None,
     ) -> "IceboxTable":
         """Copy-on-write commit: `merged` holds the COMPLETE new contents of
         `touched_buckets` (with a `_b` bucket column; merge metadata
@@ -951,8 +952,11 @@ class IceboxTable:
             # sort by (_b, key): satisfies the dynamic-partition writer's
             # required ordering AND clusters rows by key inside each file —
             # the reference's orderBy(grid) output clustering
-            # (resolve-footprints.scala:205)
-            out.sortWithinPartitions("_b", self.key)
+            # (resolve-footprints.scala:205). sort_expr overrides the
+            # within-bucket order (rewrite_clustered's z-key).
+            out.sortWithinPartitions(
+                "_b", *(sort_expr if sort_expr is not None else [self.key])
+            )
             .write.partitionBy("_b")
             .mode("overwrite")
             .parquet(snap_abs)
@@ -1339,6 +1343,90 @@ class IceboxTable:
                 # ids let concurrent rewrites prove bucket-disjointness
                 # when rebasing past this compaction (_intervening_touched)
                 "bucket_ids": sorted(chosen),
+            },
+        )
+
+    def rewrite_clustered(
+        self,
+        cols: list[str],
+        bits: int | None = None,
+        files_per_bucket: int = 1,
+        tag: str | None = None,
+    ) -> "IceboxTable":
+        """Maintenance: rewrite the whole table z-ordered on `cols`
+        (functions/zorder.py) — Iceberg's OPTIMIZE ... ZORDER analog.
+
+        One copy-on-write pass over the merged view (this IS a full
+        compaction: deltas fold in), range-partitioned on (_b, z) so
+        each bucket splits into ~files_per_bucket files each covering a
+        contiguous z-range, rows sorted by z inside every file. After
+        it, min/max stats — parquet row-group footers AND the manifest
+        zone maps commit_rewrite harvests — are selective on EVERY
+        clustered column: a file's z-range is an axis-aligned box, so a
+        predicate on the second or third clustering column skips files
+        the same way one on the first does. A linear sort gives that
+        only to its leading column.
+
+        Normalization bounds come from one tiny min/max aggregate over
+        the merged view (the same scan the rewrite reads; at 100 TB use
+        analyze()-maintained manifest bounds instead — both are exact).
+        Clustering columns must be numeric zone-map types; NULLs sort
+        first and cluster together.
+
+        Scale shape: identical to compact — one range exchange of the
+        table, O(#buckets·files_per_bucket) driver metadata, no extra
+        pass. Safe to re-run (moves no logical data), needs no
+        exactly-once tag.
+        """
+        from data_pipeline_spark.functions.zorder import default_bits, zkey
+
+        numeric = {
+            "byte", "short", "integer", "long", "float", "double",
+        }
+        by_name = {f.name: f for f in self.schema.fields}
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"unknown column {c!r}")
+            if by_name[c].dataType.typeName() not in numeric:
+                raise ValueError(
+                    f"z-order needs numeric columns, {c!r} is "
+                    f"{by_name[c].dataType.typeName()}"
+                )
+        b = default_bits(len(cols)) if bits is None else bits
+        merged = self.read(internal=True).withColumn("_b", self.bucket_of())
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        stat = merged.agg(*aggs).first()
+        bounds = [
+            (stat[f"_lo_{c}"], stat[f"_hi_{c}"]) for c in cols
+        ]
+        if any(lo is None for lo, _ in bounds):  # empty table
+            return self
+        z = zkey(cols, bounds, b)
+        touched = sorted(
+            {int(k) for k in self.manifest["buckets"]}
+            | {
+                int(bk)
+                for d in self.manifest.get("deltas") or []
+                for bk in d["bucket_rows"]
+            }
+        )
+        n_parts = max(1, len(touched)) * max(1, files_per_bucket)
+        out = merged.repartitionByRange(n_parts, F.col("_b"), z)
+        return self.commit_rewrite(
+            out,
+            touched,
+            tag=tag,
+            repartition=False,
+            sort_expr=[z],
+            summary={
+                "operation": "rewrite_clustered",
+                "cols": list(cols),
+                "bits": b,
+                "bounds": [[lo, hi] for lo, hi in bounds],
+                "files_per_bucket": files_per_bucket,
+                "bucket_ids": touched,
             },
         )
 

@@ -1,0 +1,202 @@
+"""Z-order clustering: key parity across engines, multi-column file
+pruning vs linear sort, and content preservation through
+rewrite_clustered."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_pipeline_spark.functions.zorder import zkey, zkey_py, zkey_sql
+from data_pipeline_spark.icebox import IceboxTable
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("x", LongType()),
+        StructField("y", LongType()),
+    ]
+)
+
+
+def _u(i: int, salt: str, mod: int = 1000) -> int:
+    h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+    return int(h[:12], 16) % mod
+
+
+def _rows(n: int):
+    return [(f"doc_{i:05d}", _u(i, "x"), _u(i, "y")) for i in range(n)]
+
+
+# ------------------------------------------------------------- parity
+
+
+def test_zkey_three_way_parity(spark):
+    vals = [(float(_u(i, "a", 500) - 250), float(_u(i, "b", 997)))
+            for i in range(300)]
+    # include exact bounds and degenerate positions
+    vals += [(-250.0, 0.0), (249.0, 996.0), (0.0, 500.0)]
+    bounds = [(-250.0, 249.0), (0.0, 996.0)]
+    df = spark.createDataFrame(vals, ["a", "b"])
+    got = [
+        r["z"]
+        for r in df.select(zkey(["a", "b"], bounds).alias("z"))
+        .collect()
+    ]
+    want_py = [zkey_py([a, b], bounds) for a, b in vals]
+    assert got == want_py
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(vals, columns=["a", "b"]))
+    want_sql = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {zkey_sql(['a', 'b'], bounds)} FROM t"
+        ).fetchall()
+    ]
+    assert got == want_sql
+
+
+def test_zkey_nulls_three_dims_and_overflow_guard(spark):
+    bounds3 = [(0.0, 10.0)] * 3
+    df = spark.createDataFrame(
+        [(1.0, 2.0, None), (5.0, 5.0, 5.0)], ["a", "b", "c"]
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            zkey(["a", "b", "c"], bounds3).alias("z")
+        ).collect()
+    ]
+    assert got[0] is None
+    assert got[1] == zkey_py([5.0, 5.0, 5.0], bounds3)
+    with pytest.raises(ValueError):
+        zkey(["a", "b"], bounds3[:2], bits=40)  # 80 bits > int64
+
+
+def test_zkey_is_pure_codegen(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], ["a", "b"])
+    plan = (
+        df.select(zkey(["a", "b"], [(0.0, 1.0), (0.0, 1.0)]).alias("z"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------- pruning vs linear sort
+
+
+def _file_bounds(t: IceboxTable, col: str):
+    """[(lo, hi)] of `col` per data file at the current snapshot."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for b, e in t.manifest["buckets"].items():
+        if e.get("path") is None:
+            continue
+        d = os.path.join(t.root, e["path"])
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(d, f))
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            out.append((lo, hi))
+    return out
+
+
+def _hit_frac(bounds, lo, hi):
+    n = sum(1 for a, b in bounds if not (b < lo or a > hi))
+    return n / len(bounds)
+
+
+def test_zorder_prunes_both_dims_linear_only_first(spark, tdir):
+    n = 8000
+    df = spark.createDataFrame(_rows(n), SCHEMA)
+
+    lin = IceboxTable.create(
+        spark, os.path.join(tdir, "lin"), SCHEMA, n_buckets=4
+    ).overwrite_all(df).rewrite_clustered(["x"], files_per_bucket=16)
+    zt = IceboxTable.create(
+        spark, os.path.join(tdir, "z"), SCHEMA, n_buckets=4
+    ).overwrite_all(df).rewrite_clustered(["x", "y"], files_per_bucket=16)
+
+    # the range split actually produced multiple files per bucket
+    assert len(_file_bounds(lin, "x")) >= 32
+    assert len(_file_bounds(zt, "x")) >= 32
+
+    band = (450, 549)  # ~10% slice of the 0..999 domain
+    lin_x = _hit_frac(_file_bounds(lin, "x"), *band)
+    lin_y = _hit_frac(_file_bounds(lin, "y"), *band)
+    z_x = _hit_frac(_file_bounds(zt, "x"), *band)
+    z_y = _hit_frac(_file_bounds(zt, "y"), *band)
+
+    # linear: first column razor-sharp, second column blind
+    assert lin_x <= 0.35, lin_x
+    assert lin_y >= 0.9, lin_y
+    # z-order: BOTH columns prune (each resolved to a few cells/file)
+    assert z_x <= 0.7, z_x
+    assert z_y <= 0.7, z_y
+
+
+def test_rewrite_clustered_preserves_content_and_reads(spark, tdir):
+    df = spark.createDataFrame(_rows(500), SCHEMA)
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "t"), SCHEMA, n_buckets=4
+    ).overwrite_all(df)
+    before = sorted(map(tuple, t.read().collect()))
+    sid = t.snapshot_id
+    t = t.rewrite_clustered(["x", "y"], files_per_bucket=8)
+    assert t.snapshot_id == sid + 1
+    assert t.manifest["summary"]["operation"] == "rewrite_clustered"
+    assert sorted(map(tuple, t.read().collect())) == before
+    # zone-map read path still correct post-rewrite
+    want = sorted(
+        r["doc_id"] for r in df.filter("y >= 900").collect()
+    )
+    got = sorted(
+        r["doc_id"] for r in t.read(where=[("y", ">=", 900)]).collect()
+    )
+    assert got == want
+    # deltas fold in: rewrite after a delta commit keeps the LWW winner
+    up = spark.createDataFrame([("doc_00007", 1, 1)], SCHEMA)
+    deltas = (
+        up.withColumn("_lsn", F.lit(10 ** 6).cast("long"))
+        .withColumn("_tombstone", F.lit(False))
+        .withColumn("_b", t.bucket_of())
+    )
+    b7 = deltas.select("_b").collect()[0][0]
+    t = t.commit_delta(deltas, {b7: 1})
+    t = t.rewrite_clustered(["x", "y"], files_per_bucket=4)
+    assert not t.manifest["deltas"]
+    assert t.read(keys=["doc_00007"]).collect()[0]["x"] == 1
+
+
+def test_rewrite_clustered_rejects_bad_columns(spark, tdir):
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "t"), SCHEMA, n_buckets=2
+    )
+    with pytest.raises(ValueError):
+        t.rewrite_clustered(["doc_id"])
+    with pytest.raises(ValueError):
+        t.rewrite_clustered(["nope"])
+    # empty table: no-op
+    assert t.rewrite_clustered(["x"]) is t
