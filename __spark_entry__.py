@@ -60,6 +60,7 @@ from data_pipeline_spark.functions.portable import (
     words_sql,
 )
 from data_pipeline_spark.operators import inference as I
+from data_pipeline_spark.functions.zorder import zkey, zkey_sql
 from data_pipeline_spark.operators.asof import asof_join
 from data_pipeline_spark.operators.rangejoin import interval_join
 from data_pipeline_spark.operators import stats as ST
@@ -822,6 +823,9 @@ def q_scalar_group_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         substring (F15), round (F14), unit conversion (F12) over part
       ('collect', user_id, …)   sorted distinct set as a joined string —
         the reference's grid→counties list build (geocode app.js:108-117)
+      ('zkey', p_partkey, …)    Morton z-key over (p_size, p_retailprice)
+        with pinned bounds (functions/zorder.py — the rewrite_clustered
+        sort key, value-checked against the DuckDB twin here)
     """
     p = _t(spark, sf_dir, "part")
     scalar = p.select(
@@ -847,10 +851,20 @@ def q_scalar_group_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("collect").alias("fam"), F.col("user_id").alias("k"), "s", "x"
     )
-    return scalar.unionByName(collect)
+    z = zkey(["p_size", "p_retailprice"], _Z_BOUNDS)
+    zk = p.select(
+        F.lit("zkey").alias("fam"),
+        F.col("p_partkey").alias("k"),
+        z.cast("string").alias("s"),
+        z.cast("double").alias("x"),
+    )
+    return scalar.unionByName(collect).unionByName(zk)
 
 
-_SQL_SCALAR_GROUP_FUNCS = """
+_Z_BOUNDS = [(1.0, 50.0), (900.0, 2000.0)]
+
+
+_SQL_SCALAR_GROUP_FUNCS = f"""
 SELECT 'scalar' AS fam, p_partkey AS k,
        (CASE WHEN p_size < 15 THEN 'small' WHEN p_size < 35 THEN 'medium' ELSE 'large' END)
          || '|' || substr(p_brand, 1, 5) || '/' || p_type
@@ -862,6 +876,13 @@ SELECT 'collect', user_id,
        string_agg(DISTINCT event_type, ',' ORDER BY event_type),
        CAST(count(*) AS DOUBLE)
 FROM events GROUP BY user_id
+UNION ALL
+SELECT 'zkey', p_partkey,
+       CAST({zkey_sql(['p_size', 'p_retailprice'],
+                      [(1.0, 50.0), (900.0, 2000.0)])} AS VARCHAR),
+       CAST({zkey_sql(['p_size', 'p_retailprice'],
+                      [(1.0, 50.0), (900.0, 2000.0)])} AS DOUBLE)
+FROM part
 """
 
 
