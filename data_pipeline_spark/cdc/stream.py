@@ -47,6 +47,9 @@ def run_stream(
     agg_specs: dict[str, str] | None = None,
     event_transform=None,
     quarantine_dir: str | None = None,
+    cluster_cols: list[str] | None = None,
+    cluster_every: int = 8,
+    cluster_files_per_bucket: int = 4,
 ):
     """Tail `events_path` (parquet file source) into the icebox table.
 
@@ -121,6 +124,15 @@ def run_stream(
     quarantine_dir: dead-letter queue for malformed events (row-mode
     only; see apply_batch) — without it one producer bug rejects its
     whole epoch and stalls the stream at that file.
+
+    cluster_cols: z-order maintenance on the spine (rewrite_clustered)
+    — every `cluster_every` epochs the table is rewritten Morton-
+    clustered on these columns, `cluster_files_per_bucket` z-range
+    files per bucket, so multi-column slice reads stay prunable as the
+    stream grows. Like compaction (which it subsumes — the rewrite
+    folds deltas) it runs AFTER the tagged epoch commit, moves no
+    logical data, and is crash-safe: a replayed epoch re-clusters
+    harmlessly.
     """
 
     if merge_mode not in ("row", "partial", "aggregate"):
@@ -186,7 +198,12 @@ def run_stream(
         if split_rows is not None:
             table = table.split_if_needed(max_rows_per_bucket=split_rows)
         if compact_ratio is not None:
-            table.compact_if_needed(ratio=compact_ratio)
+            table = table.compact_if_needed(ratio=compact_ratio)
+        if cluster_cols is not None and (epoch_id + 1) % cluster_every == 0:
+            table.rewrite_clustered(
+                list(cluster_cols),
+                files_per_bucket=cluster_files_per_bucket,
+            )
 
     reader = spark.readStream.schema(events_schema)
     if max_files_per_trigger:

@@ -200,3 +200,53 @@ def test_rewrite_clustered_rejects_bad_columns(spark, tdir):
         t.rewrite_clustered(["nope"])
     # empty table: no-op
     assert t.rewrite_clustered(["x"]) is t
+
+
+def test_streaming_cluster_maintenance(spark, tdir):
+    """run_stream(cluster_cols=): the spine re-clusters every
+    cluster_every epochs; final state equals the native replay and the
+    last maintenance commit is a z-order rewrite with multi-file
+    buckets. Restart stays a tag no-op (no epochs -> no re-cluster)."""
+    from data_pipeline_spark.cdc.apply import replay_log
+    from data_pipeline_spark.cdc.stream import run_stream
+    from data_pipeline_spark.gen import gen_event_log
+
+    log = gen_event_log(
+        spark, n_events=2000, n_docs=300, batch_size=500, partitions=4
+    )
+    ev = os.path.join(tdir, "ev")
+    log.write.partitionBy("batch_id").parquet(ev)
+    schema = spark.read.parquet(ev).drop("batch_id").schema
+    root = os.path.join(tdir, "t")
+    table_schema = StructType(
+        [f for f in schema.fields if f.name not in ("lsn", "op")]
+    )
+    IceboxTable.create(spark, root, table_schema, n_buckets=4)
+    run_stream(
+        spark, ev, schema, root, os.path.join(tdir, "ckpt"),
+        max_files_per_trigger=1, merge_strategy="delta",
+        cluster_cols=["n_tok"], cluster_every=2,
+        cluster_files_per_bucket=4,
+    )
+    t = IceboxTable.load(spark, root)
+    ops = [
+        r["operation"]
+        for r in t.snapshots().select("operation").collect()
+    ]
+    assert "rewrite_clustered" in ops
+    assert not t.manifest["deltas"]  # the rewrite folded them
+    assert len(_file_bounds(t, "n_tok")) > 4  # z-range split happened
+    want = IceboxTable.create(
+        spark, os.path.join(tdir, "native"), table_schema, n_buckets=4
+    )
+    want = replay_log(want, log, merge_strategy="delta")
+    assert sorted(map(tuple, t.read().collect())) == sorted(
+        map(tuple, want.read().collect())
+    )
+    sid = t.snapshot_id
+    run_stream(
+        spark, ev, schema, root, os.path.join(tdir, "ckpt"),
+        max_files_per_trigger=1, merge_strategy="delta",
+        cluster_cols=["n_tok"], cluster_every=2,
+    )
+    assert IceboxTable.load(spark, root).snapshot_id == sid
