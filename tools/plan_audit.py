@@ -97,6 +97,13 @@ AUDITED = {
         ("join keyed on the (user, grid-cell) composite", r"_cell"),
     ],
     "dedup_exact": [("partial agg (map-side combine)", r"partial_")],
+    "scalar_group_funcs": [
+        (
+            "scalar surface + Morton z-key are pure codegen (no Python "
+            "eval anywhere)",
+            r"!(?:BatchEvalPython|ArrowEvalPython)",
+        ),
+    ],
     "tok_corpus": [
         ("explode then partial count before exchange", r"partial_count"),
     ],
@@ -260,6 +267,76 @@ def main() -> None:
     ]
     out.append("\n```")
     out.extend(keep[:24])
+    out.append("```\n")
+
+    # ---- runtime bloom-filter join (the 100 TB selective-join shape):
+    # when a selective dim filter survives on the build side of a
+    # shuffle join, Catalyst injects a bloom filter built from the dim
+    # keys and applies it as a might_contain semi-filter ON THE FACT
+    # SCAN SIDE — most fact rows die before the exchange, the shuffle
+    # shrinks to the semi-join reduction. At sf0.01-0.1 the fact table
+    # is far below the 10 GB applicationSideScanSizeThreshold default,
+    # so the audit pins the threshold to 0 to exercise the path the
+    # 100 TB plan takes automatically; broadcast is disabled (a 100 TB
+    # dim side wouldn't broadcast either).
+    out.append("## runtime bloom-filter join (selective fact⋈dim, no broadcast)\n")
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    rf_keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in rf_keys.items():
+        conf.set(k, v)
+    try:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+            "o_totalprice > 400000"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy()
+            .count()
+        )
+        qe = j._jdf.queryExecution()
+        plan = j._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "10GB",
+        )
+    rf_checks = [
+        (
+            "fact side pre-filtered by the dim-key bloom (might_contain "
+            "semi-filter before the exchange)",
+            r"might_contain",
+        ),
+        ("bloom built from the filtered dim keys", r"bloom_filter_agg"),
+        ("join itself is a co-partitioned sort-merge", r"SortMergeJoin"),
+    ]
+    for desc, pat in rf_checks:
+        ok = re.search(pat, plan) is not None
+        mark = "✅" if ok else "❌"
+        out.append(f"- {mark} {desc} (`{pat}`)")
+        if not ok:
+            failures.append(("runtime_bloom_join", desc))
+    keep = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"might_contain|bloom_filter_agg|SortMergeJoin|Exchange", ln)
+    ]
+    out.append("\n```")
+    out.extend(keep[:12])
     out.append("```\n")
 
     # ---- CDC merge-plan audit: the scale claims, asserted on live plans
