@@ -82,31 +82,57 @@ def default_bits(n_cols: int) -> int:
     return min(16, 63 // n_cols)
 
 
+def zkey_cells(cells: list[Column], bits: int) -> Column:
+    """Interleave pre-built integer cell columns (each in [0, 2^bits)).
+    cells[0] takes the most-significant bit at every interleave level.
+    NULL in any cell -> NULL key (sorts first, clusters together)."""
+    d = len(cells)
+    if bits * d > 63:
+        raise ValueError(f"{d} cols x {bits} bits overflows int64")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j in range(d):
+            bit = F.shiftright(cells[j], i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * d + (d - 1 - j)))
+    return z
+
+
+def dict_cells(col: Column | str, values: list, bits: int) -> Column:
+    """Cell index for a LOW-CARDINALITY (string/categorical) column:
+    sorted `values` get ranks spread evenly over [0, 2^bits) — rank
+    order IS lexicographic order, so file min/max stats on the raw
+    column stay selective after the z-sort. Unknown values (possible
+    only if the dictionary is stale) and NULLs map to NULL (cluster
+    together at the front). One literal map, zero joins."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = max(len(values), 1)
+    step = (1 << bits) // n if n <= (1 << bits) else 1
+    pairs = []
+    for r, v in enumerate(sorted(values)):
+        pairs += [F.lit(v), F.lit(min(r * step, (1 << bits) - 1))]
+    if not pairs:
+        return F.lit(None).cast("bigint")
+    return F.element_at(F.create_map(*pairs), c).cast("bigint")
+
+
 def zkey(
     cols: list[Column | str],
     bounds: list[tuple[float, float]],
     bits: int | None = None,
 ) -> Column:
-    """Interleaved z-key over `cols`, each normalized to its (lo, hi)
-    range. cols[0] takes the most-significant bit at every interleave
-    level. NULL in any column -> NULL key (sorts first, clusters
-    together)."""
+    """Interleaved z-key over numeric `cols`, each normalized to its
+    (lo, hi) range. NULL in any column -> NULL key."""
     d = len(cols)
     if len(bounds) != d:
         raise ValueError("bounds must match cols")
     b = default_bits(d) if bits is None else bits
-    if b * d > 63:
-        raise ValueError(f"{d} cols x {b} bits overflows int64")
-    cells = [
-        _cells(F.col(c) if isinstance(c, str) else c, lo, hi, b)
-        for c, (lo, hi) in zip(cols, bounds)
-    ]
-    z = F.lit(0).cast("bigint")
-    for i in range(b):
-        for j in range(d):
-            bit = F.shiftright(cells[j], i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * d + (d - 1 - j)))
-    return z
+    return zkey_cells(
+        [
+            _cells(F.col(c) if isinstance(c, str) else c, lo, hi, b)
+            for c, (lo, hi) in zip(cols, bounds)
+        ],
+        b,
+    )
 
 
 def zkey_sql(

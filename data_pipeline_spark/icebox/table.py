@@ -1352,6 +1352,7 @@ class IceboxTable:
         bits: int | None = None,
         files_per_bucket: int = 1,
         tag: str | None = None,
+        max_dict: int = 256,
     ) -> "IceboxTable":
         """Maintenance: rewrite the whole table z-ordered on `cols`
         (functions/zorder.py) — Iceberg's OPTIMIZE ... ZORDER analog.
@@ -1370,40 +1371,83 @@ class IceboxTable:
         Normalization bounds come from one tiny min/max aggregate over
         the merged view (the same scan the rewrite reads; at 100 TB use
         analyze()-maintained manifest bounds instead — both are exact).
-        Clustering columns must be numeric zone-map types; NULLs sort
-        first and cluster together.
+        Numeric columns normalize by range; STRING columns must be
+        low-cardinality categoricals (source, language, domain class —
+        ≤ max_dict distinct values, enforced by a countDistinct in the
+        same stats aggregate) and cluster by lexicographic dictionary
+        rank (zorder.dict_cells), so raw-string file min/max stats stay
+        selective after the z-sort. High-cardinality strings are
+        rejected loudly — rank them yourself into a numeric column if
+        you really mean it. NULLs sort first and cluster together.
 
         Scale shape: identical to compact — one range exchange of the
         table, O(#buckets·files_per_bucket) driver metadata, no extra
         pass. Safe to re-run (moves no logical data), needs no
         exactly-once tag.
         """
-        from data_pipeline_spark.functions.zorder import default_bits, zkey
+        from data_pipeline_spark.functions.zorder import (
+            _cells,
+            default_bits,
+            dict_cells,
+            zkey_cells,
+        )
 
         numeric = {
             "byte", "short", "integer", "long", "float", "double",
         }
         by_name = {f.name: f for f in self.schema.fields}
+        str_cols = []
         for c in cols:
             if c not in by_name:
                 raise ValueError(f"unknown column {c!r}")
-            if by_name[c].dataType.typeName() not in numeric:
+            tn = by_name[c].dataType.typeName()
+            if tn == "string":
+                str_cols.append(c)
+            elif tn not in numeric:
                 raise ValueError(
-                    f"z-order needs numeric columns, {c!r} is "
-                    f"{by_name[c].dataType.typeName()}"
+                    f"z-order needs numeric or string columns, {c!r} is {tn}"
                 )
         b = default_bits(len(cols)) if bits is None else bits
         merged = self.read(internal=True).withColumn("_b", self.bucket_of())
-        aggs = []
+        # one stats pass: min/max for numeric, distinct-count guard for
+        # strings, row count for the empty-table bail
+        aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
-            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+            if c in str_cols:
+                aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+            else:
+                aggs += [
+                    F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")
+                ]
         stat = merged.agg(*aggs).first()
-        bounds = [
-            (stat[f"_lo_{c}"], stat[f"_hi_{c}"]) for c in cols
-        ]
-        if any(lo is None for lo, _ in bounds):  # empty table
+        if stat["_n"] == 0:  # empty table
             return self
-        z = zkey(cols, bounds, b)
+        dicts: dict[str, list] = {}
+        for c in str_cols:
+            nd = stat[f"_nd_{c}"]
+            if nd > max_dict:
+                raise ValueError(
+                    f"string z-order column {c!r} has {nd} distinct values"
+                    f" (> max_dict={max_dict}); dictionary-rank clustering"
+                    " needs a low-cardinality categorical"
+                )
+            # ≤ max_dict values by construction: a driver-safe collect
+            dicts[c] = sorted(
+                r[0] for r in merged.select(c).distinct().collect()
+                if r[0] is not None
+            )
+        cells, bounds = [], []
+        for c in cols:
+            if c in dicts:
+                cells.append(dict_cells(c, dicts[c], b))
+                bounds.append([None, None])
+            else:
+                lo, hi = stat[f"_lo_{c}"], stat[f"_hi_{c}"]
+                if lo is None:  # all-NULL numeric column: constant cell
+                    lo = hi = 0.0
+                cells.append(_cells(F.col(c), lo, hi, b))
+                bounds.append([lo, hi])
+        z = zkey_cells(cells, b)
         touched = sorted(
             {int(k) for k in self.manifest["buckets"]}
             | {
@@ -1424,7 +1468,8 @@ class IceboxTable:
                 "operation": "rewrite_clustered",
                 "cols": list(cols),
                 "bits": b,
-                "bounds": [[lo, hi] for lo, hi in bounds],
+                "bounds": bounds,
+                "dicts": dicts,
                 "files_per_bucket": files_per_bucket,
                 "bucket_ids": touched,
             },

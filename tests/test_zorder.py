@@ -195,11 +195,81 @@ def test_rewrite_clustered_rejects_bad_columns(spark, tdir):
         spark, os.path.join(tdir, "t"), SCHEMA, n_buckets=2
     )
     with pytest.raises(ValueError):
-        t.rewrite_clustered(["doc_id"])
-    with pytest.raises(ValueError):
         t.rewrite_clustered(["nope"])
     # empty table: no-op
     assert t.rewrite_clustered(["x"]) is t
+
+
+# --------------------------------------- categorical (string) z-order
+
+
+def test_dict_cells_rank_semantics(spark):
+    from data_pipeline_spark.functions.zorder import dict_cells
+
+    vals = ["ar", "de", "en", "fr"]
+    df = spark.createDataFrame(
+        [("en",), ("ar",), ("fr",), (None,), ("zz",)], ["s"]
+    )
+    got = [
+        r["c"] for r in df.select(dict_cells("s", vals, 4).alias("c"))
+        .collect()
+    ]
+    # 4 values over 2^4 cells -> step 4: ranks 0,1,2,3 -> cells 0,4,8,12
+    assert got[0] == 8 and got[1] == 0 and got[2] == 12
+    assert got[3] is None  # NULL clusters with NULLs
+    assert got[4] is None  # stale-dictionary value -> NULL, not a crash
+
+
+def test_zorder_string_categorical_prunes_raw_column(spark, tdir):
+    """Cluster on (source-string, y): dictionary-rank cells keep the
+    RAW string column's parquet min/max selective — an equality probe
+    on one category touches a fraction of files, while a y-linear sort
+    leaves the string column blind."""
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("src", StringType()),
+            StructField("y", LongType()),
+        ]
+    )
+    cats = [f"src_{i:02d}" for i in range(8)]
+    rows = [
+        (f"doc_{i:05d}", cats[_u(i, "s", 8)], _u(i, "y"))
+        for i in range(8000)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    lin = IceboxTable.create(
+        spark, os.path.join(tdir, "lin"), schema, n_buckets=4
+    ).overwrite_all(df).rewrite_clustered(["y"], files_per_bucket=16)
+    zt = IceboxTable.create(
+        spark, os.path.join(tdir, "z"), schema, n_buckets=4
+    ).overwrite_all(df).rewrite_clustered(
+        ["src", "y"], files_per_bucket=16
+    )
+    assert zt.manifest["summary"]["dicts"]["src"] == cats
+    probe = ("src_03", "src_03")
+    lin_s = _hit_frac(_file_bounds(lin, "src"), *probe)
+    z_s = _hit_frac(_file_bounds(zt, "src"), *probe)
+    z_y = _hit_frac(_file_bounds(zt, "y"), 450, 549)
+    assert lin_s >= 0.9, lin_s       # linear-on-y: string blind
+    assert z_s <= 0.45, z_s          # z: one category -> few files
+    assert z_y <= 0.7, z_y           # ...and y still prunes
+    # content preserved + zone-map string read stays correct
+    want = sorted(r["doc_id"] for r in df.filter("src = 'src_03'").collect())
+    got = sorted(
+        r["doc_id"]
+        for r in zt.read(where=[("src", "=", "src_03")]).collect()
+    )
+    assert got == want
+
+
+def test_zorder_string_high_cardinality_rejected(spark, tdir):
+    df = spark.createDataFrame(_rows(300), SCHEMA)
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "t"), SCHEMA, n_buckets=2
+    ).overwrite_all(df)
+    with pytest.raises(ValueError, match="distinct"):
+        t.rewrite_clustered(["doc_id", "x"], max_dict=64)
 
 
 def test_streaming_cluster_maintenance(spark, tdir):
