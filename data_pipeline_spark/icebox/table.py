@@ -2054,7 +2054,8 @@ class IceboxTable:
         return IceboxTable(self.spark, self.root, manifest)
 
     def expire_snapshots(
-        self, keep_last: int = 5, older_than: float | None = None
+        self, keep_last: int = 5, older_than: float | None = None,
+        orphan_grace: float = 3600.0,
     ) -> dict:
         """Iceberg-style maintenance: drop manifests older than the last
         `keep_last` snapshots and delete data directories no kept
@@ -2069,9 +2070,25 @@ class IceboxTable:
         mtime fallback for pre-timestamp manifests). Named refs pin
         their snapshots unconditionally on both axes.
 
-        Returns {"removed_dirs": n, "removed_manifests": m}.
+        Two removal classes, mirroring Iceberg's expire vs
+        remove_orphan_files split:
+
+        * EXPIRED data — referenced only by manifests this call removes —
+          is deleted exactly: the reference witness makes it dead.
+        * ORPHANS — dirs NO manifest (kept or expired) references: crash
+          leftovers from a writer that staged files but died before its
+          manifest publish... or a CONCURRENT writer's staged-not-yet-
+          committed delta. Indistinguishable by listing alone, so
+          orphans are removed only when their newest file mtime is older
+          than `orphan_grace` seconds (Iceberg's remove_orphan_files
+          defaults to 3 days for the same race). Grace 0 = the old
+          aggressive behavior, safe only with a single writer.
+
+        Returns {"removed_dirs": n, "removed_manifests": m,
+        "skipped_orphans": k}.
         """
         import shutil
+        import time
 
         meta_dir = os.path.join(self.root, "metadata")
         snaps = sorted(
@@ -2092,29 +2109,55 @@ class IceboxTable:
                     ts = json.load(f).get("committed_at")
                 if float(ts if ts is not None else os.path.getmtime(p)) >= older_than:
                     keep_ids.add(sid)
+
+        def _dirs_of(manifest: dict) -> set[str]:
+            out = set()
+            for e in manifest["buckets"].values():
+                if e.get("path") is not None:
+                    out.add(e["path"].split(os.sep)[1])  # data/<dir>/_b=k
+            for d in manifest.get("deltas") or []:
+                out.add(d["path"].split(os.sep)[1])
+            for p in manifest["lineage_paths"]:
+                out.add(p.split(os.sep)[1])
+            return out
+
         referenced: set[str] = set()
-        for sid in keep_ids:
+        expired_refs: set[str] = set()
+        for sid in snaps:
             with open(os.path.join(meta_dir, f"snap-{sid:08d}.json")) as f:
                 m = json.load(f)
-            for e in m["buckets"].values():
-                if e.get("path") is not None:
-                    referenced.add(e["path"].split(os.sep)[1])  # data/<dir>/_b=k
-            for d in m.get("deltas") or []:
-                referenced.add(d["path"].split(os.sep)[1])
-            for p in m["lineage_paths"]:
-                referenced.add(p.split(os.sep)[1])
+            (referenced if sid in keep_ids else expired_refs).update(_dirs_of(m))
+        expired_refs -= referenced
+
+        def _newest_mtime(absd: str) -> float:
+            newest = os.path.getmtime(absd)
+            for base, _, files in os.walk(absd):
+                for fn in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(base, fn)))
+                    except OSError:
+                        pass
+            return newest
+
         data_dir = os.path.join(self.root, "data")
-        removed_dirs = 0
+        cutoff = time.time() - orphan_grace
+        removed_dirs = skipped = 0
         for d in os.listdir(data_dir):
-            if d not in referenced:
-                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
-                removed_dirs += 1
+            if d in referenced:
+                continue
+            absd = os.path.join(data_dir, d)
+            if d not in expired_refs and _newest_mtime(absd) >= cutoff:
+                skipped += 1  # possibly a live writer's staged dir
+                continue
+            shutil.rmtree(absd, ignore_errors=True)
+            removed_dirs += 1
         removed_manifests = 0
         for sid in snaps:
             if sid not in keep_ids:
                 os.remove(os.path.join(meta_dir, f"snap-{sid:08d}.json"))
                 removed_manifests += 1
-        return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}
+        return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests,
+                "skipped_orphans": skipped}
 
     def overwrite_all(self, df: DataFrame, tag: str | None = None) -> "IceboxTable":
         """Full rewrite of every bucket (initial load path)."""

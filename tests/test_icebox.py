@@ -155,6 +155,44 @@ def test_expire_snapshots(spark, tdir):
     assert t3.snapshot_id == t2.snapshot_id
 
 
+def test_expire_orphan_grace_protects_inflight_staging(spark, tdir):
+    """The expire/orphan split (Iceberg expire vs remove_orphan_files):
+    data referenced only by EXPIRED manifests is deleted exactly —
+    freshness is irrelevant, the reference witness makes it dead — but
+    an UNREFERENCED dir (indistinguishable from a concurrent writer's
+    staged-not-yet-committed delta) survives until orphan_grace ages
+    out, then goes."""
+    root = os.path.join(tdir, "tgr")
+    t = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=2)
+    for i in range(4):
+        t = t.overwrite_all(
+            _mkdf(spark, [(f"doc_{j}", [i, j], 2) for j in range(6)])
+        )
+    data_dir = os.path.join(root, "data")
+    # a concurrent writer mid-commit: staged files exist, manifest not yet
+    staged = os.path.join(data_dir, "snap-00000099-aaaa1111")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "wb") as f:
+        f.write(b"in-flight")
+    # a true crash leftover: same shape, but OLD
+    stale = os.path.join(data_dir, "snap-00000098-bbbb2222")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "wb") as f:
+        f.write(b"crashed long ago")
+    old = 1.0  # epoch 1970 — far past any grace window
+    os.utime(stale, (old, old))
+    os.utime(os.path.join(stale, "part-0.parquet"), (old, old))
+
+    res = t.expire_snapshots(keep_last=1)
+    # expired-manifest data went despite fresh mtimes (exact removal)...
+    assert res["removed_manifests"] >= 2
+    # ...the aged orphan went, the in-flight staged dir survived
+    assert not os.path.exists(stale)
+    assert os.path.exists(staged)
+    assert res["skipped_orphans"] == 1
+    assert IceboxTable.load(spark, root).read().count() == 6
+
+
 def test_concurrent_commit_rejected(spark, tdir):
     """Optimistic concurrency: a stale handle must not clobber a newer
     snapshot (Iceberg-style single-winner swap)."""

@@ -305,7 +305,13 @@ def test_crashed_delta_commit_is_invisible_and_reclaimed(spark, tdir):
     with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
         f.write(b"torn")
     t3 = apply_batch(t2, log.filter(F.col("batch_id") == 1), 1, merge_strategy="delta")
-    res = t3.expire_snapshots(keep_last=100)  # keep all snapshots: only orphans go
+    # grace=0: single-writer deployment, reclaim immediately. With the
+    # default grace the fresh dir is indistinguishable from a concurrent
+    # writer's staged-not-yet-committed delta and must survive:
+    res = t3.expire_snapshots(keep_last=100)
+    assert res["removed_dirs"] == 0 and res["skipped_orphans"] >= 1
+    assert os.path.exists(orphan)
+    res = t3.expire_snapshots(keep_last=100, orphan_grace=0)
     assert res["removed_dirs"] >= 1
     assert not os.path.exists(orphan)
     # replayed batch applied exactly once

@@ -113,6 +113,6 @@ def test_validate_detects_orphans_after_unclean_stage(spark, tdir):
     rep = t.validate()
     assert rep["orphan_dirs"] == ["snap-zzorphan"]
     # expiry reclaims it
-    t.expire_snapshots(keep_last=10_000)
+    t.expire_snapshots(keep_last=10_000, orphan_grace=0)
     assert not os.path.exists(orphan)
     assert t.validate()["orphan_dirs"] == []
