@@ -826,6 +826,10 @@ def q_scalar_group_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('zkey', p_partkey, …)    Morton z-key over (p_size, p_retailprice)
         with pinned bounds (functions/zorder.py — the rewrite_clustered
         sort key, value-checked against the DuckDB twin here)
+      ('zcat', p_partkey, …)    CATEGORICAL z-key: p_brand through a
+        pinned 25-value dictionary (dict_cells rank spread) interleaved
+        with range-normalized p_size — the string-column clustering
+        path of rewrite_clustered, value-checked against dict_cells_sql
     """
     p = _t(spark, sf_dir, "part")
     scalar = p.select(
@@ -858,10 +862,38 @@ def q_scalar_group_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.cast("string").alias("s"),
         z.cast("double").alias("x"),
     )
-    return scalar.unionByName(collect).unionByName(zk)
+    from data_pipeline_spark.functions.zorder import (
+        _cells, dict_cells, zkey_cells,
+    )
+
+    zc = zkey_cells(
+        [dict_cells("p_brand", _Z_BRANDS, 8),
+         _cells(F.col("p_size"), *_Z_BOUNDS[0], 8)],
+        8,
+    )
+    zcat = p.select(
+        F.lit("zcat").alias("fam"),
+        F.col("p_partkey").alias("k"),
+        zc.cast("string").alias("s"),
+        zc.cast("double").alias("x"),
+    )
+    return scalar.unionByName(collect).unionByName(zk).unionByName(zcat)
 
 
 _Z_BOUNDS = [(1.0, 50.0), (900.0, 2000.0)]
+_Z_BRANDS = [f"Brand#{i}" for i in range(1, 26)]
+
+
+def _zcat_sql() -> str:
+    from data_pipeline_spark.functions.zorder import (
+        _cells_sql, dict_cells_sql, zkey_cells_sql,
+    )
+
+    return zkey_cells_sql(
+        [dict_cells_sql("p_brand", _Z_BRANDS, 8),
+         _cells_sql("p_size", *_Z_BOUNDS[0], 8)],
+        8,
+    )
 
 
 _SQL_SCALAR_GROUP_FUNCS = f"""
@@ -883,6 +915,9 @@ SELECT 'zkey', p_partkey,
        CAST({zkey_sql(['p_size', 'p_retailprice'],
                       [(1.0, 50.0), (900.0, 2000.0)])} AS DOUBLE)
 FROM part
+UNION ALL
+SELECT 'zcat', p_partkey, CAST(_zc AS VARCHAR), CAST(_zc AS DOUBLE)
+FROM (SELECT p_partkey, {_zcat_sql()} AS _zc FROM part)
 """
 
 

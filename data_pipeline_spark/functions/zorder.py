@@ -135,6 +135,33 @@ def zkey(
     )
 
 
+def dict_cells_sql(expr: str, values: list, bits: int) -> str:
+    """DuckDB twin of dict_cells — identical cell for identical input
+    (unknown value / NULL -> NULL in both engines)."""
+    n = max(len(values), 1)
+    step = (1 << bits) // n if n <= (1 << bits) else 1
+    whens = " ".join(
+        f"WHEN {expr} = '{v}' THEN "
+        f"CAST({min(r * step, (1 << bits) - 1)} AS BIGINT)"
+        for r, v in enumerate(sorted(values))
+    )
+    if not whens:
+        return "CAST(NULL AS BIGINT)"
+    return f"(CASE {whens} END)"
+
+
+def zkey_cells_sql(cells: list[str], bits: int) -> str:
+    """DuckDB twin of zkey_cells: interleave pre-built cell exprs."""
+    d = len(cells)
+    terms = []
+    for i in range(bits):
+        for j in range(d):
+            terms.append(
+                f"((({cells[j]} >> {i}) & 1) << {i * d + (d - 1 - j)})"
+            )
+    return "(" + " | ".join(terms) + ")"
+
+
 def zkey_sql(
     exprs: list[str],
     bounds: list[tuple[float, float]],
@@ -143,16 +170,10 @@ def zkey_sql(
     """DuckDB twin of zkey — identical value for identical input."""
     d = len(exprs)
     b = default_bits(d) if bits is None else bits
-    cells = [
-        _cells_sql(e, lo, hi, b) for e, (lo, hi) in zip(exprs, bounds)
-    ]
-    terms = []
-    for i in range(b):
-        for j in range(d):
-            terms.append(
-                f"((({cells[j]} >> {i}) & 1) << {i * d + (d - 1 - j)})"
-            )
-    return "(" + " | ".join(terms) + ")"
+    return zkey_cells_sql(
+        [_cells_sql(e, lo, hi, b) for e, (lo, hi) in zip(exprs, bounds)],
+        b,
+    )
 
 
 def zkey_py(

@@ -218,6 +218,23 @@ def test_dict_cells_rank_semantics(spark):
     assert got[0] == 8 and got[1] == 0 and got[2] == 12
     assert got[3] is None  # NULL clusters with NULLs
     assert got[4] is None  # stale-dictionary value -> NULL, not a crash
+    # DuckDB twin computes the identical cells (incl. NULL/unknown)
+    from data_pipeline_spark.functions.zorder import dict_cells_sql
+
+    con = duckdb.connect()
+    con.register(
+        "t",
+        __import__("pandas").DataFrame(
+            {"s": ["en", "ar", "fr", None, "zz"]}
+        ),
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {dict_cells_sql('s', vals, 4)} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
 
 
 def test_zorder_string_categorical_prunes_raw_column(spark, tdir):
