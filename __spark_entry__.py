@@ -492,16 +492,23 @@ SELECT doc_id, bt, bn, bsrc, 'update_post' FROM j WHERE ina AND inb AND changed
 
 
 def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-view maintenance over the change feed
-    (materialize.MaterializedAggregate): a per-source (count, sum n_tok)
-    view refreshed after EVERY applied batch via poll→delta-fold→tagged
-    apply — never recomputed from the source. The oracle recomputes the
-    same aggregate from scratch over the final LWW state, so equality
-    proves the retract/add delta math (insert/update_post +1,
-    delete/update_pre −1) lands on the exact from-scratch answer."""
+    """Two derived tables maintained incrementally from the change feed,
+    refreshed after EVERY applied batch via poll→delta-fold→tagged
+    apply — never recomputed from the source:
+
+      ('mv', source, …)   materialize.MaterializedAggregate per-source
+        (count, sum n_tok) — the oracle recomputes from scratch over the
+        final LWW state, proving the retract/add delta math
+        (insert/update_post +1, delete/update_pre −1) lands exactly
+      ('idx', term|doc, …) index.InvertedIndex (term, doc) postings,
+        term-prefix-bucketed — the oracle explodes distinct tokens of
+        the final state, proving the per-doc term-set diff
+        (array_except adds/removes) retracts stale postings exactly
+    """
+    from data_pipeline_spark.index import InvertedIndex
     from data_pipeline_spark.materialize import MaterializedAggregate
 
-    key = ("mv", 3000, 300, 1000, 20)
+    key = ("mv_idx", 3000, 300, 1000, 20)
     if key not in _REPLAY_CACHE:
         base = tempfile.mkdtemp(prefix="icebox_mv_")
         src = IceboxTable.create(
@@ -512,6 +519,9 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, src, os.path.join(base, "mv"), "source", ["n_tok"],
             name="by_source",
         )
+        idx = InvertedIndex(
+            spark, src, os.path.join(base, "idx"), name="toks", n_buckets=16
+        )
         bids = sorted(
             r["batch_id"] for r in ev.select("batch_id").distinct().collect()
         )
@@ -519,9 +529,25 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = apply_batch(src, ev.filter(F.col("batch_id") == b), b, n_salts=8)
             mv.source = src
             mv.refresh()
-        _REPLAY_CACHE[key] = os.path.join(base, "mv")
-    view = IceboxTable.load(spark, _REPLAY_CACHE[key])
-    return view.read().select("source", "n_rows", "sum_n_tok")
+            idx.source = src
+            idx.refresh()
+        _REPLAY_CACHE[key] = base
+    base = _REPLAY_CACHE[key]
+    view = IceboxTable.load(spark, os.path.join(base, "mv"))
+    agg = view.read().select(
+        F.lit("mv").alias("fam"),
+        F.col("source").alias("k"),
+        F.col("n_rows").alias("n"),
+        F.col("sum_n_tok").alias("v"),
+    )
+    iview = IceboxTable.load(spark, os.path.join(base, "idx"))
+    postings = iview.read().select(
+        F.lit("idx").alias("fam"),
+        F.col("pair").alias("k"),
+        F.col("term").cast("long").alias("n"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    return agg.unionByName(postings)
 
 
 def _sql_cdc_incremental_agg() -> str:
@@ -529,9 +555,13 @@ def _sql_cdc_incremental_agg() -> str:
 WITH ev AS ({portable_event_log_sql(3000, 300, 1000, 20)}),
 w AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn FROM ev),
 final AS (SELECT * FROM w WHERE rn = 1 AND op <> 'delete')
-SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+SELECT 'mv' AS fam, source AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_tok) AS BIGINT) AS v
 FROM final GROUP BY source
+UNION ALL
+SELECT 'idx', CAST(t AS VARCHAR) || '|' || doc_id, CAST(t AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS t FROM final)
 """
 
 

@@ -241,11 +241,20 @@ def _is_widening(old, new) -> bool:
     return (old, new) in _WIDEN_OK
 
 
-def bucket_expr(n_buckets: int, key: str = "doc_id"):
+def bucket_expr(n_buckets: int, key: str = "doc_id", sep: str | None = None):
     """Partition transform: pmod(xxhash64(key), n) — the engine's analog of
     the reference's PlusCode grid bucketing
-    (/root/reference/grid-and-attrs/footprint.js:117-118)."""
-    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    (/root/reference/grid-and-attrs/footprint.js:117-118).
+
+    `sep`: PREFIX bucketing for composite keys — hash only the part of
+    the key before the first `sep`. Still a pure function of the key
+    (merge/LWW correctness holds: every version of a key lands in one
+    bucket), but all keys sharing a prefix co-locate, so a prefix probe
+    reads ONE bucket. The inverted index's `term|doc` pairs use this."""
+    c = F.col(key)
+    if sep is not None:
+        c = F.substring_index(c, sep, 1)
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
 
 class IceboxTable:
@@ -264,6 +273,7 @@ class IceboxTable:
         n_buckets: int = 32,
         key: str = "doc_id",
         immutable_cols: list[str] | None = None,
+        bucket_sep: str | None = None,
     ) -> "IceboxTable":
         """immutable_cols: columns the writer CONTRACTS never change
         across versions of a key (every change event for a doc carries
@@ -272,7 +282,11 @@ class IceboxTable:
         these columns (safe because any version witnesses the key's
         value); mutable columns only ever prune at whole-bucket
         granularity. The contract is the user's, like Iceberg partition
-        columns — the engine does not re-verify it per batch."""
+        columns — the engine does not re-verify it per batch.
+
+        bucket_sep: prefix bucketing for composite keys (see
+        bucket_expr) — rows bucket by the key part before the first
+        separator, so all keys sharing a prefix co-locate."""
         meta_dir = os.path.join(root, "metadata")
         os.makedirs(meta_dir, exist_ok=False)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -290,6 +304,7 @@ class IceboxTable:
             "committed_tags": [],
             "key": key,
             "n_buckets": n_buckets,
+            "bucket_sep": bucket_sep,
             "current_schema_id": 0,
             "schemas": {"0": schema.json()},
             "last_field_id": len(schema.fields) - 1,
@@ -384,7 +399,9 @@ class IceboxTable:
         )
 
     def bucket_of(self):
-        return bucket_expr(self.n_buckets, self.key)
+        return bucket_expr(
+            self.n_buckets, self.key, self.manifest.get("bucket_sep")
+        )
 
     # ---------- schema evolution ----------
 
