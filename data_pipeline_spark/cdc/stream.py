@@ -43,6 +43,7 @@ def run_stream(
     dedup_text_col: str = "tokens",
     dedup_compact_segments: int | None = None,
     materialized_views=None,
+    view_compact_ratio: float | None = None,
     merge_mode: str = "row",
     agg_specs: dict[str, str] | None = None,
     event_transform=None,
@@ -99,15 +100,20 @@ def run_stream(
     exactly-once tag contract, so checkpoint replay is a table no-op in
     any mode.
 
-    materialized_views: materialize.MaterializedAggregate instances to
-    fold forward after each epoch's table commit. Each refresh is
-    independently exactly-once (the delta-apply is tagged in the VIEW's
-    own commit log and the cursor recovers from that tag), so a crash
-    between the table commit and a refresh — or between two refreshes —
-    just widens the interval the next refresh folds; nothing is counted
-    twice and nothing is lost. Views lag the table by at most one epoch
-    during the outage window and are exactly consistent at every quiet
-    point.
+    materialized_views: derived-table maintainers to fold forward after
+    each epoch's table commit — materialize.MaterializedAggregate,
+    index.InvertedIndex, or anything with the same ``refresh()``
+    contract (delta-apply tagged in the DERIVED table's own commit log,
+    cursor position recovered from that tag). Each refresh is
+    independently exactly-once, so a crash between the table commit and
+    a refresh — or between two refreshes — just widens the interval the
+    next refresh folds; nothing is counted twice and nothing is lost.
+    Views lag the table by at most one epoch during the outage window
+    and are exactly consistent at every quiet point.
+    view_compact_ratio: if set, each view's ``maintain(ratio)`` runs
+    after its refresh — the views' twin of compact_ratio (refreshes are
+    MoR delta appends; long streams need the fold). Post-commit,
+    crash-safe, moves no logical data.
 
     event_transform: optional ``DataFrame -> DataFrame`` applied to each
     epoch's raw events BEFORE the merge — the in-stream enrichment hook.
@@ -195,6 +201,8 @@ def run_stream(
                 dedup_index.compact_if_needed(dedup_compact_segments)
         for mv in materialized_views or ():
             mv.refresh()  # cursor reloads the source; O(epoch changes)
+            if view_compact_ratio is not None:
+                mv.maintain(view_compact_ratio)
         if split_rows is not None:
             table = table.split_if_needed(max_rows_per_bucket=split_rows)
         if compact_ratio is not None:

@@ -207,6 +207,12 @@ class MaterializedAggregate:
         self.cursor.ack(to_sid)
         return self.view
 
+    def maintain(self, compact_ratio: float = 0.5) -> IceboxTable:
+        """Fold the view's accumulated refresh deltas when they outgrow
+        the base (same knob as the spine's compact_ratio)."""
+        self.view = self.view.compact_if_needed(ratio=compact_ratio)
+        return self.view
+
     def read(self) -> DataFrame:
         """Current view contents (group, n_rows, sum_*)."""
         return self.view.read()

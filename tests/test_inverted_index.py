@@ -131,6 +131,39 @@ def test_crash_between_apply_and_ack_is_exactly_once(spark, tdir):
     assert _got_pairs(idx2) == _oracle_pairs(log_pdf, bs[-1])
 
 
+def test_streaming_spine_maintains_index(spark, tdir):
+    """run_stream(materialized_views=[InvertedIndex], view_compact_ratio=):
+    the index folds forward per epoch; final postings equal the oracle;
+    restart from the same checkpoint is a no-op on BOTH table and index;
+    view_compact_ratio keeps the index's delta count bounded."""
+    from data_pipeline_spark.cdc.stream import run_stream
+
+    log, log_pdf, t, idx = _setup(spark, tdir, n_events=2000, n_docs=200,
+                                  batch_size=500)
+    ev = os.path.join(tdir, "ev")
+    log.write.partitionBy("batch_id").parquet(ev)
+    schema = spark.read.parquet(ev).drop("batch_id").schema
+    run_stream(
+        spark, ev, schema, t.root, os.path.join(tdir, "ckpt"),
+        max_files_per_trigger=1, merge_strategy="delta",
+        materialized_views=[idx], view_compact_ratio=0.5,
+    )
+    want = _oracle_pairs(log_pdf, _batches(log)[-1])
+    assert _got_pairs(idx) == want
+    # the fold actually ran: deltas bounded, not one per epoch
+    assert len(idx.view.manifest["deltas"]) < len(_batches(log))
+    sid_t = IceboxTable.load(spark, t.root).snapshot_id
+    sid_i = idx.view.snapshot_id
+    run_stream(
+        spark, ev, schema, t.root, os.path.join(tdir, "ckpt"),
+        max_files_per_trigger=1, merge_strategy="delta",
+        materialized_views=[idx], view_compact_ratio=0.5,
+    )
+    assert IceboxTable.load(spark, t.root).snapshot_id == sid_t
+    assert idx.view.snapshot_id == sid_i
+    assert _got_pairs(idx) == want
+
+
 def test_docs_with_probes_only_term_buckets_and_compaction(spark, tdir):
     log, log_pdf, t, idx = _setup(spark, tdir, n_events=2000, n_docs=200)
     for b in _batches(log):
