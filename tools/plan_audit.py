@@ -409,6 +409,49 @@ def main() -> None:
     out.extend(keep[:20])
     out.append("```\n")
 
+    # ---- inverted-index probe (index.InvertedIndex.docs_with): the
+    # driver-side prefix-bucket pruning is pytest-pinned (one bucket per
+    # term); here the audit asserts the IN-PLAN half of the ladder — the
+    # term filter reaching the parquet scan as a pushed predicate, the
+    # scan pruned to the probe's columns, and no Python eval anywhere.
+    from data_pipeline_spark.index import InvertedIndex
+
+    idxo = InvertedIndex(spark, tbl, os.path.join(work, "idx"), n_buckets=16)
+    idxo.refresh()
+    # audit the read-optimized steady state: compacted (base-only) index —
+    # live refresh deltas interpose the LWW merge aggregate, which blocks
+    # scan-level pushdown until maintain() folds them (the same read-tax
+    # trade the spine's compact_ratio governs)
+    idxo.view = idxo.view.compact_if_needed(ratio=0.0)
+    terms = [
+        r["term"]
+        for r in idxo.view.read().select("term").distinct().limit(3).collect()
+    ]
+    probe_plan = _fmt(idxo.docs_with(terms))
+    out.append("## inverted-index probe (docs_with)\n")
+    idx_checks = [
+        ("term predicate pushed into the parquet scan (In / EqualTo)",
+         re.search(
+             r"PushedFilters: \[[^\]]*(?:In|EqualTo)\(term", probe_plan
+         ) is not None),
+        ("no Python eval in the probe path",
+         re.search(r"BatchEvalPython|ArrowEvalPython", probe_plan) is None),
+        ("probe plan is join-free (driver prunes buckets, scan filters)",
+         re.search(r"Join", probe_plan) is None),
+    ]
+    for desc, ok in idx_checks:
+        mark = "✅" if ok else "❌"
+        out.append(f"- {mark} {desc}")
+        if not ok:
+            failures.append(("inverted_index_probe", desc))
+    keep = [
+        ln for ln in probe_plan.splitlines()
+        if re.search(r"Scan parquet|PushedFilters|ReadSchema|Exchange|Filter", ln)
+    ]
+    out.append("\n```")
+    out.extend(keep[:12])
+    out.append("```\n")
+
     # ---- columnar merge engines (partial-update / aggregation): the
     # scale claims from cdc/partial.py + cdc/aggregate.py, asserted on
     # live plans. Audited on a compacted (base-only) table so the old-row
