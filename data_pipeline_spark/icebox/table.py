@@ -1847,6 +1847,48 @@ class IceboxTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def partitions(self) -> DataFrame:
+        """Per-bucket layout rollup — Iceberg's `t$partitions` analog:
+        one row per bucket with base rows/files/bytes, the physical
+        delta rows covering it (tombstones and per-commit duplicates
+        included — the same upper-bound counters split_if_needed uses),
+        and how many live delta commits touch it (the bucket's MoR
+        read-tax: files merged per read until compaction folds them).
+        Driver-side manifest walk + os.walk of referenced dirs only —
+        no Spark job; the skew/compaction dashboard query."""
+        base: dict[int, list] = {}
+        for b, e in self.manifest["buckets"].items():
+            if e.get("path") is None:
+                continue
+            nf = nb = 0
+            absd = os.path.join(self.root, e["path"])
+            for dirpath, _dirs, names in os.walk(absd):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        nf += 1
+                        nb += os.path.getsize(os.path.join(dirpath, n))
+            base[int(b)] = [int(e.get("rows", 0)), nf, nb]
+        delta_rows: dict[int, int] = {}
+        delta_commits: dict[int, int] = {}
+        for d in self.manifest.get("deltas") or []:
+            for b, n in d["bucket_rows"].items():
+                delta_rows[int(b)] = delta_rows.get(int(b), 0) + int(n)
+                delta_commits[int(b)] = delta_commits.get(int(b), 0) + 1
+        rows = [
+            (
+                b,
+                *(base.get(b) or [0, 0, 0]),
+                delta_rows.get(b, 0),
+                delta_commits.get(b, 0),
+            )
+            for b in sorted(set(base) | set(delta_rows))
+        ]
+        schema = (
+            "bucket int, base_rows long, base_files int, base_bytes long, "
+            "delta_rows long, delta_commits int"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def validate(self, deep: bool = False) -> dict:
         """Integrity check of THIS snapshot (maintenance tool, mutates
         nothing): every referenced bucket/delta/lineage dir must exist

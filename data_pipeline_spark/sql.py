@@ -89,12 +89,15 @@ def register_changes(
 
 
 def register_metadata(table: IceboxTable, name: str) -> None:
-    """Iceberg metadata-table surface: registers `{name}__snapshots` and
-    `{name}__files` temp views (the `t$snapshots` / `t$files` analog —
-    `$` is not valid in Spark view names) for SQL over commit history
-    and physical layout. Snapshot-pinned like register()."""
+    """Iceberg metadata-table surface: registers `{name}__snapshots`,
+    `{name}__files`, and `{name}__partitions` temp views (the
+    `t$snapshots` / `t$files` / `t$partitions` analog — `$` is not valid
+    in Spark view names) for SQL over commit history, physical layout,
+    and per-bucket skew/read-tax rollups. Snapshot-pinned like
+    register()."""
     table.snapshots().createOrReplaceTempView(f"{name}__snapshots")
     table.files().createOrReplaceTempView(f"{name}__files")
+    table.partitions().createOrReplaceTempView(f"{name}__partitions")
 
 
 def merge_into(

@@ -76,6 +76,37 @@ def test_register_metadata_sql_surface(spark, tdir):
     assert total and total > 0
 
 
+def test_partitions_table_rollup(spark, tdir):
+    """partitions(): per-bucket base/delta accounting must reconcile
+    with the manifest and files(), and the delta read-tax must reset
+    after compaction."""
+    t = _mk(spark, tdir)  # delta strategy: 3 delta commits, no base
+    p = {r["bucket"]: r for r in t.partitions().collect()}
+    assert p  # every touched bucket present
+    want_delta = {}
+    for d in t.manifest["deltas"]:
+        for b, n in d["bucket_rows"].items():
+            want_delta[int(b)] = want_delta.get(int(b), 0) + int(n)
+    assert {b: r["delta_rows"] for b, r in p.items()} == want_delta
+    assert all(r["delta_commits"] >= 1 for r in p.values())
+    # SQL surface
+    register_metadata(t, "tp")
+    assert spark.sql(
+        "SELECT sum(delta_rows) s FROM tp__partitions"
+    ).first()["s"] == sum(want_delta.values())
+
+    t2 = t.compact_if_needed(ratio=0.0)
+    p2 = {r["bucket"]: r for r in t2.partitions().collect()}
+    assert all(r["delta_commits"] == 0 for r in p2.values())
+    # post-compaction base bytes/files reconcile with files()
+    fl = t2.files().groupBy("bucket").agg(
+        F.sum("bytes").alias("b"), F.count("*").alias("n")
+    ).collect()
+    for r in fl:
+        assert p2[r["bucket"]]["base_bytes"] == r["b"]
+        assert p2[r["bucket"]]["base_files"] == r["n"]
+
+
 def test_expire_older_than_keeps_recent(spark, tdir):
     t = _mk(spark, tdir)
     # cutoff BEFORE every commit: nothing but keep_last applies → age
