@@ -68,11 +68,26 @@ class InvertedIndex:
         tokens_col: str = "tokens",
         name: str = "idx",
         n_buckets: int = 32,
+        stop_terms=None,
     ):
+        """stop_terms: terms never indexed (compared as strings) — the
+        hot-term skew control. A term present in EVERY document puts
+        df(term) rows in ONE bucket (prefix bucketing co-locates them by
+        design), so at 10^10 docs a stopword-grade term IS the skew; as
+        in any IR system, such terms carry no selectivity and belong on
+        a stop list (for token vocabularies: the top-k most frequent
+        ids). The list is applied to adds AND removes each refresh, so
+        late additions leave no dangling maintenance; postings indexed
+        BEFORE a term was stopped are removed retroactively with
+        ``delete_where(view, [("term","=",t)])`` — an O(matched) tagged
+        delete, change-feed visible like any other. Detect emerging hot
+        terms from ``view.partitions()`` (per-bucket row skew) or a
+        ``groupBy(term).count()`` over ``read()``."""
         self.spark = spark
         self.source = source
         self.tokens_col = tokens_col
         self.name = name
+        self.stop_terms = {str(t) for t in (stop_terms or ())}
         src_fields = {f.name: f for f in source.schema.fields}
         if tokens_col not in src_fields:
             raise ValueError(f"tokens_col {tokens_col!r} not in source schema")
@@ -135,6 +150,11 @@ class InvertedIndex:
                 lambda x: x.cast("string"),
             )
         )
+        if self.stop_terms:
+            # literal filter inline with the diff (fine to ~10^4 stop
+            # ids; a corpus-scale list would broadcast-anti-join instead)
+            stop = F.array(*[F.lit(t) for t in sorted(self.stop_terms)])
+            terms = F.array_except(terms, stop)
         pre = chg.filter(
             F.col("_change_type").isin("delete", "update_pre")
         ).select(F.col(key).alias("_k"), terms.alias("_old"))

@@ -131,6 +131,47 @@ def test_crash_between_apply_and_ack_is_exactly_once(spark, tdir):
     assert _got_pairs(idx2) == _oracle_pairs(log_pdf, bs[-1])
 
 
+def test_stop_terms_gate_and_retroactive_cleanup(spark, tdir):
+    """Hot-term skew control: stopped terms are never indexed (adds AND
+    removes filtered, so later updates leave no dangling maintenance);
+    terms stopped AFTER being indexed are purged retroactively with a
+    plain delete_where over the index view."""
+    from data_pipeline_spark.cdc.delete import delete_where
+
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "src"), BASE_SCHEMA, n_buckets=4
+    )
+    ev = spark.createDataFrame(
+        [(1, "insert", "d1", [2, 7], 2, "a"),
+         (2, "insert", "d2", [2, 9], 2, "a")],
+        EV_DDL,
+    )
+    t = apply_batch(t, ev, 0)
+    idx = InvertedIndex(
+        spark, t, os.path.join(tdir, "idx"), n_buckets=4, stop_terms=[2]
+    )
+    idx.refresh()
+    assert _got_pairs(idx) == {("7", "d1"), ("9", "d2")}
+    # an update touching the stopped term stays a clean no-op for it
+    ev2 = spark.createDataFrame(
+        [(3, "update", "d1", [2, 8], 2, "a")], EV_DDL
+    )
+    t = apply_batch(t, ev2, 1)
+    idx.source = t
+    idx.refresh()
+    assert _got_pairs(idx) == {("8", "d1"), ("9", "d2")}
+
+    # retroactive: an index built WITHOUT the stop list purges via
+    # delete_where on its own view (tagged, O(matched))
+    idx2 = InvertedIndex(
+        spark, t, os.path.join(tdir, "idx2"), name="all", n_buckets=4
+    )
+    idx2.refresh()
+    assert ("2", "d2") in _got_pairs(idx2)
+    idx2.view = delete_where(idx2.view, "term = '2'", op_id="stop:2")
+    assert _got_pairs(idx2) == {("8", "d1"), ("9", "d2")}
+
+
 def test_streaming_spine_maintains_index(spark, tdir):
     """run_stream(materialized_views=[InvertedIndex], view_compact_ratio=):
     the index folds forward per epoch; final postings equal the oracle;
