@@ -141,8 +141,10 @@ def dict_cells_sql(expr: str, values: list, bits: int) -> str:
     n = max(len(values), 1)
     step = (1 << bits) // n if n <= (1 << bits) else 1
     whens = " ".join(
-        f"WHEN {expr} = '{v}' THEN "
-        f"CAST({min(r * step, (1 << bits) - 1)} AS BIGINT)"
+        "WHEN {} = '{}' THEN CAST({} AS BIGINT)".format(
+            expr, str(v).replace("'", "''"),
+            min(r * step, (1 << bits) - 1),
+        )
         for r, v in enumerate(sorted(values))
     )
     if not whens:

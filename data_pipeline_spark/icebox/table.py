@@ -1439,7 +1439,6 @@ class IceboxTable:
         stat = merged.agg(*aggs).first()
         if stat["_n"] == 0:  # empty table
             return self
-        dicts: dict[str, list] = {}
         for c in str_cols:
             nd = stat[f"_nd_{c}"]
             if nd > max_dict:
@@ -1448,22 +1447,34 @@ class IceboxTable:
                     f" (> max_dict={max_dict}); dictionary-rank clustering"
                     " needs a low-cardinality categorical"
                 )
-            # ≤ max_dict values by construction: a driver-safe collect
-            dicts[c] = sorted(
-                r[0] for r in merged.select(c).distinct().collect()
-                if r[0] is not None
-            )
+        dicts: dict[str, list] = {}
+        if str_cols:
+            # ≤ max_dict values each by the guard above: ONE extra pass
+            # collects every dictionary (not one scan per column)
+            sets = merged.agg(
+                *[F.collect_set(c).alias(c) for c in str_cols]
+            ).first()
+            dicts = {c: sorted(sets[c]) for c in str_cols}
         cells, bounds = [], []
         for c in cols:
+            # a degenerate column (all NULL → no dictionary / no numeric
+            # bounds) gets a CONSTANT cell, not a NULL one — a NULL cell
+            # would NULL the whole interleaved key and void clustering on
+            # the OTHER columns
             if c in dicts:
-                cells.append(dict_cells(c, dicts[c], b))
+                cells.append(
+                    dict_cells(c, dicts[c], b) if dicts[c]
+                    else F.lit(0).cast("bigint")
+                )
                 bounds.append([None, None])
             else:
                 lo, hi = stat[f"_lo_{c}"], stat[f"_hi_{c}"]
-                if lo is None:  # all-NULL numeric column: constant cell
-                    lo = hi = 0.0
-                cells.append(_cells(F.col(c), lo, hi, b))
-                bounds.append([lo, hi])
+                if lo is None:  # all-NULL numeric column
+                    cells.append(F.lit(0).cast("bigint"))
+                    bounds.append([None, None])
+                else:
+                    cells.append(_cells(F.col(c), lo, hi, b))
+                    bounds.append([lo, hi])
         z = zkey_cells(cells, b)
         touched = sorted(
             {int(k) for k in self.manifest["buckets"]}
@@ -1809,11 +1820,10 @@ class IceboxTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
-    def files(self) -> DataFrame:
-        """Physical layout of THIS snapshot as a DataFrame — Iceberg's
-        `t$files`: one row per data file with bucket, kind (base/delta),
-        schema generation, manifest row count (bucket granularity), and
-        on-disk bytes. Driver-side os.walk of referenced dirs only."""
+    def _file_rows(self) -> list:
+        """One driver-side walk of the snapshot's referenced dirs —
+        shared by files() and partitions() (and register_metadata, which
+        feeds both views from a single walk)."""
         rows = []
 
         def _dir_files(rel: str):
@@ -1841,33 +1851,41 @@ class IceboxTable:
                     (rel, f"delta-{i}", -1, int(d.get("schema_id", 0)),
                      live_rows, size)
                 )
-        schema = (
-            "path string, kind string, bucket int, schema_id int, "
-            "manifest_rows long, bytes long"
-        )
-        return self.spark.createDataFrame(rows, schema)
+        return rows
 
-    def partitions(self) -> DataFrame:
+    FILES_SCHEMA = (
+        "path string, kind string, bucket int, schema_id int, "
+        "manifest_rows long, bytes long"
+    )
+
+    def files(self, _rows: list | None = None) -> DataFrame:
+        """Physical layout of THIS snapshot as a DataFrame — Iceberg's
+        `t$files`: one row per data file with bucket, kind (base/delta),
+        schema generation, manifest row count (bucket granularity), and
+        on-disk bytes. Driver-side os.walk of referenced dirs only."""
+        rows = self._file_rows() if _rows is None else _rows
+        return self.spark.createDataFrame(rows, self.FILES_SCHEMA)
+
+    def partitions(self, _rows: list | None = None) -> DataFrame:
         """Per-bucket layout rollup — Iceberg's `t$partitions` analog:
         one row per bucket with base rows/files/bytes, the physical
         delta rows covering it (tombstones and per-commit duplicates
         included — the same upper-bound counters split_if_needed uses),
         and how many live delta commits touch it (the bucket's MoR
         read-tax: files merged per read until compaction folds them).
-        Driver-side manifest walk + os.walk of referenced dirs only —
-        no Spark job; the skew/compaction dashboard query."""
+        Driver-side manifest walk + the same single file walk files()
+        uses (shared via _file_rows) — no Spark job; the
+        skew/compaction dashboard query."""
         base: dict[int, list] = {}
         for b, e in self.manifest["buckets"].items():
-            if e.get("path") is None:
-                continue
-            nf = nb = 0
-            absd = os.path.join(self.root, e["path"])
-            for dirpath, _dirs, names in os.walk(absd):
-                for n in names:
-                    if n.endswith(".parquet"):
-                        nf += 1
-                        nb += os.path.getsize(os.path.join(dirpath, n))
-            base[int(b)] = [int(e.get("rows", 0)), nf, nb]
+            if e.get("path") is not None:
+                base[int(b)] = [int(e.get("rows", 0)), 0, 0]
+        for _path, kind, bucket, _sid, _rows_, size in (
+            self._file_rows() if _rows is None else _rows
+        ):
+            if kind == "base" and bucket in base:
+                base[bucket][1] += 1
+                base[bucket][2] += size
         delta_rows: dict[int, int] = {}
         delta_commits: dict[int, int] = {}
         for d in self.manifest.get("deltas") or []:
@@ -2189,7 +2207,12 @@ class IceboxTable:
         expired_refs -= referenced
 
         def _newest_mtime(absd: str) -> float:
-            newest = os.path.getmtime(absd)
+            try:
+                newest = os.path.getmtime(absd)
+            except OSError:
+                # dir vanished (a concurrent expire already took it):
+                # treat as ancient — the rmtree below is a no-op
+                return 0.0
             for base, _, files in os.walk(absd):
                 for fn in files:
                     try:

@@ -197,6 +197,14 @@ class InvertedIndex:
             F.col("_e.term").alias("term"),
             F.col("_k").alias("doc_id"),
         )
+        if events.isEmpty():
+            # posting-less interval (compaction/split-only commits, or
+            # updates that left every term set unchanged): move the
+            # position without minting an empty snapshot — the tag list
+            # stays sparse, _applied_position() tracks the max (the same
+            # fast path as MaterializedAggregate's empty-delta case)
+            self.cursor.ack(to_sid)
+            return self.view
         self.view = apply_batch(
             self.view,
             events,

@@ -96,8 +96,11 @@ def register_metadata(table: IceboxTable, name: str) -> None:
     and per-bucket skew/read-tax rollups. Snapshot-pinned like
     register()."""
     table.snapshots().createOrReplaceTempView(f"{name}__snapshots")
-    table.files().createOrReplaceTempView(f"{name}__files")
-    table.partitions().createOrReplaceTempView(f"{name}__partitions")
+    rows = table._file_rows()  # ONE walk feeds both layout views
+    table.files(_rows=rows).createOrReplaceTempView(f"{name}__files")
+    table.partitions(_rows=rows).createOrReplaceTempView(
+        f"{name}__partitions"
+    )
 
 
 def merge_into(

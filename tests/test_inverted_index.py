@@ -131,6 +131,36 @@ def test_crash_between_apply_and_ack_is_exactly_once(spark, tdir):
     assert _got_pairs(idx2) == _oracle_pairs(log_pdf, bs[-1])
 
 
+def test_posting_less_interval_commits_nothing(spark, tdir):
+    """A source interval with no term-set changes (compaction-only
+    commit, or an update touching only non-token columns) must advance
+    the cursor WITHOUT minting an empty index snapshot."""
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "src"), BASE_SCHEMA, n_buckets=4
+    )
+    ev = spark.createDataFrame(
+        [(1, "insert", "d1", [1, 2], 2, "a")], EV_DDL
+    )
+    t = apply_batch(t, ev, 0, merge_strategy="delta")
+    idx = InvertedIndex(spark, t, os.path.join(tdir, "idx"), n_buckets=4)
+    idx.refresh()
+    sid = idx.view.snapshot_id
+    pos = idx.cursor.position
+
+    # compaction-only source commit: data-less change interval
+    t = t.compact_if_needed(ratio=0.0)
+    # update that changes ONLY the source column — term set unchanged
+    ev2 = spark.createDataFrame(
+        [(2, "update", "d1", [1, 2], 2, "b")], EV_DDL
+    )
+    t = apply_batch(t, ev2, 1, merge_strategy="delta")
+    idx.source = t
+    idx.refresh()
+    assert idx.view.snapshot_id == sid  # no empty commit
+    assert idx.cursor.position > pos    # but the position advanced
+    assert _got_pairs(idx) == {("1", "d1"), ("2", "d1")}
+
+
 def test_stop_terms_gate_and_retroactive_cleanup(spark, tdir):
     """Hot-term skew control: stopped terms are never indexed (adds AND
     removes filtered, so later updates leave no dangling maintenance);

@@ -280,6 +280,47 @@ def test_zorder_string_categorical_prunes_raw_column(spark, tdir):
     assert got == want
 
 
+def test_dict_cells_sql_escapes_quotes(spark):
+    from data_pipeline_spark.functions.zorder import dict_cells, dict_cells_sql
+
+    vals = ["O'Brien", "plain"]
+    df = spark.createDataFrame([("O'Brien",), ("plain",)], ["s"])
+    got = [
+        r["c"] for r in df.select(dict_cells("s", vals, 4).alias("c"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "t", __import__("pandas").DataFrame({"s": ["O'Brien", "plain"]})
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {dict_cells_sql('s', vals, 4)} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_zorder_all_null_column_does_not_void_other_dims(spark, tdir):
+    """A degenerate (all-NULL) clustering column must contribute a
+    CONSTANT cell — a NULL cell would NULL every interleaved key and
+    destroy clustering on the healthy columns."""
+    import pyspark.sql.functions as FF
+
+    df = spark.createDataFrame(_rows(4000), SCHEMA).withColumn(
+        "x", FF.lit(None).cast("long")
+    )
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "t"), SCHEMA, n_buckets=2
+    ).overwrite_all(df).rewrite_clustered(["x", "y"], files_per_bucket=8)
+    # y still prunes: the z-key degenerates to a pure y sort
+    yb = _file_bounds(t, "y")
+    assert len(yb) >= 8
+    assert _hit_frac(yb, 450, 549) <= 0.5
+    assert t.read().count() == 4000
+
+
 def test_zorder_string_high_cardinality_rejected(spark, tdir):
     df = spark.createDataFrame(_rows(300), SCHEMA)
     t = IceboxTable.create(
