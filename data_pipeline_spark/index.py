@@ -245,6 +245,19 @@ class InvertedIndex:
             buckets=bsel, where=[("term", "in", probe)]
         ).select("term", "doc_id")
 
+    def term_frequencies(self, min_df: int = 1) -> DataFrame:
+        """Document frequency per term: (term, df), df >= min_df — the
+        stop-term detector (feed the hot tail back into ``stop_terms``
+        and purge with delete_where). One map-side-combined count over
+        the postings; at scale the term key is the bucket prefix, so
+        the partial aggregate is already term-clustered."""
+        return (
+            self.view.read()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= int(min_df))
+        )
+
     def read(self) -> DataFrame:
         """Full current postings (term, doc_id)."""
         return self.view.read().select("term", "doc_id")

@@ -200,6 +200,14 @@ def test_stop_terms_gate_and_retroactive_cleanup(spark, tdir):
     assert ("2", "d2") in _got_pairs(idx2)
     idx2.view = delete_where(idx2.view, "term = '2'", op_id="stop:2")
     assert _got_pairs(idx2) == {("8", "d1"), ("9", "d2")}
+    # the detector that would have found it: df rollup
+    idx3 = InvertedIndex(
+        spark, t, os.path.join(tdir, "idx3"), name="df", n_buckets=4
+    )
+    idx3.refresh()
+    dfm = {r["term"]: r["df"] for r in idx3.term_frequencies().collect()}
+    assert dfm["2"] == 2 and dfm["8"] == 1
+    assert {r["term"] for r in idx3.term_frequencies(min_df=2).collect()} == {"2"}
 
 
 def test_streaming_spine_maintains_index(spark, tdir):
