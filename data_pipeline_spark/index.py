@@ -39,12 +39,42 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
 from .cdc.apply import apply_batch
 from .icebox.cursor import ChangeCursor
 from .icebox.table import IceboxTable
+
+
+def ngram_hash_terms(n: int):
+    """term_fn for an incremental N-GRAM index: every n-token window
+    hashes to a portable 64-bit term (functions/portable.h64 — the same
+    md5-derived hash the batch contamination gate and the DuckDB twins
+    use, so probes can be computed independently with h64_py). O(len·n)
+    column work per doc, empty for docs shorter than n."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from .functions.portable import h64
+
+    def fn(arr: Column) -> Column:
+        wins = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: h64(
+                F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice(arr, i, n), lambda x: x.cast("string")
+                    ),
+                ),
+                salt=f"ng{n}",
+            ).cast("string"),
+        )
+        return F.when(F.size(arr) >= n, wins).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return fn
 
 
 class InvertedIndex:
@@ -69,8 +99,21 @@ class InvertedIndex:
         name: str = "idx",
         n_buckets: int = 32,
         stop_terms=None,
+        term_fn=None,
     ):
-        """stop_terms: terms never indexed (compared as strings) — the
+        """term_fn: optional Column→Column transform mapping the raw
+        ``tokens_col`` array to the ARRAY OF TERMS to index (elements
+        cast to string downstream). Default: the elements themselves —
+        a unigram membership index. ``ngram_hash_terms(n)`` plugs in
+        here to maintain an incremental N-GRAM index instead: terms are
+        portable 64-bit hashes of each n-token window, which makes the
+        standing corpus probeable for benchmark contamination
+        (operators/dedup.py contamination, 13-gram GPT-3 gate) at
+        O(batch) per refresh instead of an O(corpus) gram re-scan.
+        Deterministic and pure-Column (it runs inside the diff); the
+        same exactly-once/diff/retraction machinery applies unchanged.
+
+        stop_terms: terms never indexed (compared as strings) — the
         hot-term skew control. A term present in EVERY document puts
         df(term) rows in ONE bucket (prefix bucketing co-locates them by
         design), so at 10^10 docs a stopword-grade term IS the skew; as
@@ -88,6 +131,7 @@ class InvertedIndex:
         self.tokens_col = tokens_col
         self.name = name
         self.stop_terms = {str(t) for t in (stop_terms or ())}
+        self.term_fn = term_fn
         src_fields = {f.name: f for f in source.schema.fields}
         if tokens_col not in src_fields:
             raise ValueError(f"tokens_col {tokens_col!r} not in source schema")
@@ -144,11 +188,11 @@ class InvertedIndex:
             return self.view  # nothing new
 
         key, tcol = self.source.key, self.tokens_col
+        raw = F.coalesce(F.col(tcol), F.array())
+        if self.term_fn is not None:
+            raw = self.term_fn(raw)
         terms = F.array_distinct(
-            F.transform(
-                F.coalesce(F.col(tcol), F.array()),
-                lambda x: x.cast("string"),
-            )
+            F.transform(raw, lambda x: x.cast("string"))
         )
         if self.stop_terms:
             # literal filter inline with the diff (fine to ~10^4 stop

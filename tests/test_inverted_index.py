@@ -210,6 +210,69 @@ def test_stop_terms_gate_and_retroactive_cleanup(spark, tdir):
     assert {r["term"] for r in idx3.term_frequencies(min_df=2).collect()} == {"2"}
 
 
+def test_ngram_index_incremental_contamination_probe(spark, tdir):
+    """term_fn=ngram_hash_terms(3): the index maintains 3-gram hash
+    postings incrementally; a benchmark gram (computed independently
+    with the portable h64_py twin) probes the standing corpus across
+    batches, and an update that drops the window retracts its posting."""
+    from data_pipeline_spark.functions.portable import h64_py
+    from data_pipeline_spark.index import ngram_hash_terms
+
+    def gram(*toks):
+        return str(h64_py("_".join(str(t) for t in toks), salt="ng3"))
+
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "src"), BASE_SCHEMA, n_buckets=4
+    )
+    t = apply_batch(
+        t,
+        spark.createDataFrame(
+            [(1, "insert", "d1", [1, 2, 3, 4], 4, "a"),
+             (2, "insert", "dshort", [7, 8], 2, "a")],
+            EV_DDL,
+        ),
+        0,
+    )
+    idx = InvertedIndex(
+        spark, t, os.path.join(tdir, "idx"), n_buckets=4,
+        term_fn=ngram_hash_terms(3),
+    )
+    idx.refresh()
+    assert _got_pairs(idx) == {
+        (gram(1, 2, 3), "d1"), (gram(2, 3, 4), "d1")
+    }  # short doc contributes nothing
+    # batch 2: a new doc shares the (2,3,4) window — the standing-corpus
+    # probe finds both
+    t = apply_batch(
+        t,
+        spark.createDataFrame(
+            [(3, "insert", "d2", [9, 2, 3, 4], 4, "a")], EV_DDL
+        ),
+        1,
+    )
+    idx.source = t
+    idx.refresh()
+    hits = {
+        (r["term"], r["doc_id"])
+        for r in idx.docs_with([gram(2, 3, 4)]).collect()
+    }
+    assert hits == {(gram(2, 3, 4), "d1"), (gram(2, 3, 4), "d2")}
+    # d1 truncated to [1,2,3]: its (2,3,4) posting retracts
+    t = apply_batch(
+        t,
+        spark.createDataFrame(
+            [(4, "update", "d1", [1, 2, 3], 3, "a")], EV_DDL
+        ),
+        2,
+    )
+    idx.source = t
+    idx.refresh()
+    hits = {
+        r["doc_id"] for r in idx.docs_with([gram(2, 3, 4)]).collect()
+    }
+    assert hits == {"d2"}
+
+
 def test_streaming_spine_maintains_index(spark, tdir):
     """run_stream(materialized_views=[InvertedIndex], view_compact_ratio=):
     the index folds forward per epoch; final postings equal the oracle;
