@@ -47,11 +47,39 @@ from .icebox.cursor import ChangeCursor
 from .icebox.table import IceboxTable
 
 
+# window encoding for n-gram terms: elements joined with the unit
+# separator, NULL elements as NUL — neither appears in str(int), so
+# distinct windows over token-id arrays cannot collide to one string
+# (['5',NULL,'7'] vs ['5','7',NULL] encode differently; a plain '_'
+# join with null-skipping concat_ws would conflate them). For STRING
+# token vocabularies the user contract is: tokens must not contain
+# \\x1f / \\x00 (as with the '|' pair-key contract).
+_NGRAM_SEP = "\x1f"
+_NGRAM_NULL = "\x00"
+
+
+def ngram_hash_py(window) -> str:
+    """Driver-side twin for computing a probe term from one n-token
+    window (e.g. a benchmark's 13-gram): the exact string the index
+    stores for that window. Pass the window itself; n is its length."""
+    from .functions.portable import h64_py
+
+    s = _NGRAM_SEP.join(
+        _NGRAM_NULL if t is None else str(t) for t in window
+    )
+    return str(h64_py(s, salt=f"ng{len(window)}"))
+
+
 def ngram_hash_terms(n: int):
     """term_fn for an incremental N-GRAM index: every n-token window
-    hashes to a portable 64-bit term (functions/portable.h64 — the same
-    md5-derived hash the batch contamination gate and the DuckDB twins
-    use, so probes can be computed independently with h64_py). O(len·n)
+    hashes to a portable 60-bit term (functions/portable.h64 — the
+    md5-derived hash family shared with the engine's DuckDB twins).
+    Compute probe terms with ``ngram_hash_py(window)``. NOTE: these are
+    NOT the same gram values as operators/dedup.py ``contamination()``
+    — that batch gate hashes space-joined WORD windows of text,
+    unsalted; this index hashes \\x1f-joined token windows under an
+    'ng{n}' salt. The two answer the same question over different
+    domains (raw text vs token ids) and do not cross-probe. O(len·n)
     column work per doc, empty for docs shorter than n."""
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -62,9 +90,12 @@ def ngram_hash_terms(n: int):
             F.sequence(F.lit(1), F.size(arr) - (n - 1)),
             lambda i: h64(
                 F.concat_ws(
-                    "_",
+                    _NGRAM_SEP,
                     F.transform(
-                        F.slice(arr, i, n), lambda x: x.cast("string")
+                        F.slice(arr, i, n),
+                        lambda x: F.coalesce(
+                            x.cast("string"), F.lit(_NGRAM_NULL)
+                        ),
                     ),
                 ),
                 salt=f"ng{n}",
@@ -106,7 +137,7 @@ class InvertedIndex:
         cast to string downstream). Default: the elements themselves —
         a unigram membership index. ``ngram_hash_terms(n)`` plugs in
         here to maintain an incremental N-GRAM index instead: terms are
-        portable 64-bit hashes of each n-token window, which makes the
+        portable 60-bit hashes of each n-token window, which makes the
         standing corpus probeable for benchmark contamination
         (operators/dedup.py contamination, 13-gram GPT-3 gate) at
         O(batch) per refresh instead of an O(corpus) gram re-scan.
@@ -294,9 +325,11 @@ class InvertedIndex:
         stop-term detector (feed the hot tail back into ``stop_terms``
         and purge with delete_where). One map-side-combined count over
         the postings; at scale the term key is the bucket prefix, so
-        the partial aggregate is already term-clustered."""
+        the partial aggregate is already term-clustered. columns=['term']
+        pushes the projection through the MoR merge — the pair/doc_id
+        payload never leaves the scan."""
         return (
-            self.view.read()
+            self.view.read(columns=["term"])
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") >= int(min_df))

@@ -215,11 +215,10 @@ def test_ngram_index_incremental_contamination_probe(spark, tdir):
     postings incrementally; a benchmark gram (computed independently
     with the portable h64_py twin) probes the standing corpus across
     batches, and an update that drops the window retracts its posting."""
-    from data_pipeline_spark.functions.portable import h64_py
-    from data_pipeline_spark.index import ngram_hash_terms
+    from data_pipeline_spark.index import ngram_hash_py, ngram_hash_terms
 
     def gram(*toks):
-        return str(h64_py("_".join(str(t) for t in toks), salt="ng3"))
+        return ngram_hash_py(toks)
 
     t = IceboxTable.create(
         spark, os.path.join(tdir, "src"), BASE_SCHEMA, n_buckets=4
@@ -228,7 +227,12 @@ def test_ngram_index_incremental_contamination_probe(spark, tdir):
         t,
         spark.createDataFrame(
             [(1, "insert", "d1", [1, 2, 3, 4], 4, "a"),
-             (2, "insert", "dshort", [7, 8], 2, "a")],
+             (2, "insert", "dshort", [7, 8], 2, "a"),
+             # null-position collision guard: these two windows must
+             # hash to DIFFERENT grams (a null-skipping join would
+             # conflate both to "5_7")
+             (3, "insert", "dnull_a", [5, None, 7], 3, "a"),
+             (4, "insert", "dnull_b", [5, 7, None], 3, "a")],
             EV_DDL,
         ),
         0,
@@ -239,8 +243,13 @@ def test_ngram_index_incremental_contamination_probe(spark, tdir):
     )
     idx.refresh()
     assert _got_pairs(idx) == {
-        (gram(1, 2, 3), "d1"), (gram(2, 3, 4), "d1")
-    }  # short doc contributes nothing
+        (gram(1, 2, 3), "d1"), (gram(2, 3, 4), "d1"),
+        (gram(5, None, 7), "dnull_a"), (gram(5, 7, None), "dnull_b"),
+    }  # short doc contributes nothing; null positions don't collide
+    assert gram(5, None, 7) != gram(5, 7, None)
+    assert {
+        r["doc_id"] for r in idx.docs_with([gram(5, None, 7)]).collect()
+    } == {"dnull_a"}
     # batch 2: a new doc shares the (2,3,4) window — the standing-corpus
     # probe finds both
     t = apply_batch(
