@@ -39,6 +39,7 @@ def run_stream(
     merge_strategy: str = "auto",
     compact_ratio: float | None = None,
     split_rows: int | None = None,
+    lineage_max_paths: int | None = None,
     dedup_index=None,
     dedup_text_col: str = "tokens",
     dedup_compact_segments: int | None = None,
@@ -207,6 +208,11 @@ def run_stream(
             table = table.split_if_needed(max_rows_per_bucket=split_rows)
         if compact_ratio is not None:
             table = table.compact_if_needed(ratio=compact_ratio)
+        if lineage_max_paths is not None:
+            # bounds the manifest's O(#commits) lineage-path growth on a
+            # long stream (compact_lineage: driver-side fold, no Spark
+            # job, crash-safe like compaction)
+            table = table.compact_lineage(max_paths=lineage_max_paths)
         if cluster_cols is not None and (epoch_id + 1) % cluster_every == 0:
             table.rewrite_clustered(
                 list(cluster_cols),

@@ -2130,6 +2130,55 @@ class IceboxTable:
         self._write_manifest(manifest)
         return IceboxTable(self.spark, self.root, manifest)
 
+    def compact_lineage(self, max_paths: int = 64) -> "IceboxTable":
+        """Maintenance: fold the cumulative per-batch lineage dirs into
+        ONE merged dir once they exceed `max_paths` — a metadata + tiny-
+        data commit bounding two O(#commits) growths a long-running
+        stream otherwise accrues: the manifest's lineage_paths list
+        (rewritten with every commit) and the lineage dir count
+        (read_lineage opens one file set per batch). History is
+        preserved row-for-row — read_lineage() returns the identical
+        frame. Old lineage dirs stay referenced by OLDER manifests until
+        expire_snapshots drops those manifests, after which expiry
+        reclaims the dirs (lineage subdirs are expiry-tracked
+        individually). Lineage is O(#batches·#buckets) tiny rows, so
+        this is driver-side pyarrow only — no Spark job; idempotent
+        (no-op at or under max_paths); safe to re-run after a crash."""
+        paths = self.manifest["lineage_paths"]
+        if len(paths) <= max_paths:
+            return self
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tables = []
+        for rel in paths:
+            absd = os.path.join(self.root, rel)
+            for f in sorted(os.listdir(absd)):
+                if f.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(absd, f)))
+        merged = pa.concat_tables(tables)
+        rel = os.path.join(
+            "data", "lineage",
+            f"merged-{self.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}",
+        )
+        os.makedirs(os.path.join(self.root, rel), exist_ok=True)
+        pq.write_table(
+            merged, os.path.join(self.root, rel, "lineage.parquet")
+        )
+        manifest = {
+            **self.manifest,
+            "snapshot_id": self.snapshot_id + 1,
+            "parent_id": self.snapshot_id,
+            "tag": None,
+            "lineage_paths": [rel],
+            "summary": {
+                "operation": "compact_lineage", "folded": len(paths),
+            },
+        }
+        self._check_current()
+        self._write_manifest(manifest)
+        return IceboxTable(self.spark, self.root, manifest)
+
     def expire_snapshots(
         self, keep_last: int = 5, older_than: float | None = None,
         orphan_grace: float = 3600.0,
@@ -2194,17 +2243,33 @@ class IceboxTable:
                     out.add(e["path"].split(os.sep)[1])  # data/<dir>/_b=k
             for d in manifest.get("deltas") or []:
                 out.add(d["path"].split(os.sep)[1])
-            for p in manifest["lineage_paths"]:
-                out.add(p.split(os.sep)[1])
             return out
+
+        def _lineage_of(manifest: dict) -> set[str]:
+            # data/lineage/<dir> — tracked at SUBDIR granularity so
+            # compact_lineage-superseded dirs become reclaimable once
+            # the manifests referencing them expire
+            return {
+                p.split(os.sep)[2]
+                for p in manifest["lineage_paths"]
+                if len(p.split(os.sep)) > 2
+            }
 
         referenced: set[str] = set()
         expired_refs: set[str] = set()
+        lin_ref: set[str] = set()
+        lin_expired: set[str] = set()
         for sid in snaps:
             with open(os.path.join(meta_dir, f"snap-{sid:08d}.json")) as f:
                 m = json.load(f)
-            (referenced if sid in keep_ids else expired_refs).update(_dirs_of(m))
+            if sid in keep_ids:
+                referenced.update(_dirs_of(m))
+                lin_ref.update(_lineage_of(m))
+            else:
+                expired_refs.update(_dirs_of(m))
+                lin_expired.update(_lineage_of(m))
         expired_refs -= referenced
+        lin_expired -= lin_ref
 
         def _newest_mtime(absd: str) -> float:
             try:
@@ -2224,15 +2289,27 @@ class IceboxTable:
         data_dir = os.path.join(self.root, "data")
         cutoff = time.time() - orphan_grace
         removed_dirs = skipped = 0
-        for d in os.listdir(data_dir):
-            if d in referenced:
-                continue
-            absd = os.path.join(data_dir, d)
-            if d not in expired_refs and _newest_mtime(absd) >= cutoff:
-                skipped += 1  # possibly a live writer's staged dir
-                continue
-            shutil.rmtree(absd, ignore_errors=True)
-            removed_dirs += 1
+
+        def _sweep(parent: str, ref: set[str], expired: set[str]) -> None:
+            nonlocal removed_dirs, skipped
+            if not os.path.isdir(parent):
+                return
+            for d in os.listdir(parent):
+                if d in ref:
+                    continue
+                absd = os.path.join(parent, d)
+                if d not in expired and _newest_mtime(absd) >= cutoff:
+                    skipped += 1  # possibly a live writer's staged dir
+                    continue
+                shutil.rmtree(absd, ignore_errors=True)
+                removed_dirs += 1
+
+        # top-level data dirs (bucket snapshots, delta sets); the
+        # lineage parent is swept at subdir granularity below
+        _sweep(
+            data_dir, referenced | {"lineage"}, expired_refs - {"lineage"}
+        )
+        _sweep(os.path.join(data_dir, "lineage"), lin_ref, lin_expired)
         removed_manifests = 0
         for sid in snaps:
             if sid not in keep_ids:

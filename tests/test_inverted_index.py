@@ -298,11 +298,16 @@ def test_streaming_spine_maintains_index(spark, tdir):
         spark, ev, schema, t.root, os.path.join(tdir, "ckpt"),
         max_files_per_trigger=1, merge_strategy="delta",
         materialized_views=[idx], view_compact_ratio=0.5,
+        lineage_max_paths=2,
     )
     want = _oracle_pairs(log_pdf, _batches(log)[-1])
     assert _got_pairs(idx) == want
     # the fold actually ran: deltas bounded, not one per epoch
     assert len(idx.view.manifest["deltas"]) < len(_batches(log))
+    # lineage maintenance bounded the manifest's path list on the spine
+    t_after = IceboxTable.load(spark, t.root)
+    assert len(t_after.manifest["lineage_paths"]) <= 3
+    assert t_after.read_lineage().count() > 0
     sid_t = IceboxTable.load(spark, t.root).snapshot_id
     sid_i = idx.view.snapshot_id
     run_stream(

@@ -107,6 +107,42 @@ def test_partitions_table_rollup(spark, tdir):
         assert p2[r["bucket"]]["base_files"] == r["n"]
 
 
+def test_compact_lineage_bounds_manifest_and_reclaims(spark, tdir):
+    """compact_lineage folds the per-batch lineage dirs into one
+    (read_lineage identical, manifest list bounded); superseded dirs are
+    reclaimed once the manifests referencing them expire — lineage
+    subdirs are expiry-tracked individually."""
+    t = _mk(spark, tdir)  # 3 batches -> 3 lineage dirs
+    assert len(t.manifest["lineage_paths"]) == 3
+    before = sorted(map(tuple, t.read_lineage().collect()))
+    lin_dir = os.path.join(t.root, "data", "lineage")
+    n_sub_before = len(os.listdir(lin_dir))
+
+    assert t.compact_lineage(max_paths=8) is t  # under budget: no-op
+    t = t.compact_lineage(max_paths=2)
+    assert len(t.manifest["lineage_paths"]) == 1
+    assert t.manifest["summary"] == {
+        "operation": "compact_lineage", "folded": 3,
+    }
+    assert sorted(map(tuple, t.read_lineage().collect())) == before
+    # old dirs still on disk (older manifests reference them)...
+    assert len(os.listdir(lin_dir)) == n_sub_before + 1
+    # ...and reclaimed exactly once those manifests expire (exact
+    # removal — no grace needed for expired-referenced dirs)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed_manifests"] >= 3
+    assert os.listdir(lin_dir) == [
+        t.manifest["lineage_paths"][0].split(os.sep)[2]
+    ]
+    assert sorted(map(tuple, t.read_lineage().collect())) == before
+    # a fresh unreferenced lineage subdir (concurrent commit mid-write)
+    # survives the default grace
+    staged = os.path.join(lin_dir, "snap-99999999-feedface")
+    os.makedirs(staged)
+    res = t.expire_snapshots(keep_last=1)
+    assert os.path.isdir(staged) and res["skipped_orphans"] >= 1
+
+
 def test_expire_older_than_keeps_recent(spark, tdir):
     t = _mk(spark, tdir)
     # cutoff BEFORE every commit: nothing but keep_last applies → age
