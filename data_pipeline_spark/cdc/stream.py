@@ -68,6 +68,16 @@ def run_stream(
     (split_if_needed) — the long-running-stream growth policy; like
     compaction it runs post-commit and is crash-safe.
 
+    lineage_max_paths: fold the table's per-batch lineage dirs into
+    merged segments whenever the tail outgrows this budget
+    (compact_lineage: driver-side pyarrow, no Spark job, history
+    preserved) — bounds the manifest's otherwise O(#commits)
+    lineage_paths growth on a long-running stream. Runs AFTER the
+    tagged epoch commit like the other maintenance knobs; moves no
+    logical data, so a crash between commit and fold just re-folds on
+    the replayed epoch (idempotent), and the fold's commit is
+    whitelisted in changes() so incremental consumers stay O(changes).
+
     dedup_index: an operators.incremental_dedup.IncrementalDeduper —
     per epoch, the batch's non-delete LWW winners are probed against the
     standing near-dup band index and appended to it (O(batch·cap) per

@@ -1610,10 +1610,19 @@ class IceboxTable:
                 m = json.load(f)
             s = m.get("summary") or {}
             op = s.get("operation")
-            if op in ("compact", "rename_column", "drop_column"):
-                # compaction moves no logical rows; rename/drop change
-                # the SCHEMA only — the feed's output is B-schema and
-                # pre-images translate by field id, so no rows to emit
+            if op in (
+                "compact", "rewrite_clustered", "rename_column",
+                "drop_column", "analyze", "compact_lineage",
+            ):
+                # no logical rows move: compaction and the z-order
+                # rewrite fold/reorder physical files only; rename/drop
+                # change the SCHEMA only (the feed's output is B-schema
+                # and pre-images translate by field id); analyze and
+                # compact_lineage are metadata/lineage-only. Leaving any
+                # of these off this list silently degrades every
+                # incremental consumer to the full-state diff whenever
+                # spine maintenance (cluster_every / lineage_max_paths /
+                # analyze windows) commits between cursor polls.
                 continue
             if op == "split_buckets":
                 prune_buckets = False
@@ -2124,39 +2133,80 @@ class IceboxTable:
             "tag": None,
             "buckets": new_buckets,
             "deltas": new_deltas,
-            "summary": {"operation": "analyze"},
+            # bucket_ids: [] — metadata-only, touches no buckets, so a
+            # concurrent rewrite's retry_on_conflict rebase can prove
+            # disjointness instead of failing
+            "summary": {"operation": "analyze", "bucket_ids": []},
         }
         self._check_current()
         self._write_manifest(manifest)
         return IceboxTable(self.spark, self.root, manifest)
 
-    def compact_lineage(self, max_paths: int = 64) -> "IceboxTable":
-        """Maintenance: fold the cumulative per-batch lineage dirs into
-        ONE merged dir once they exceed `max_paths` — a metadata + tiny-
-        data commit bounding two O(#commits) growths a long-running
-        stream otherwise accrues: the manifest's lineage_paths list
-        (rewritten with every commit) and the lineage dir count
-        (read_lineage opens one file set per batch). History is
-        preserved row-for-row — read_lineage() returns the identical
-        frame. Old lineage dirs stay referenced by OLDER manifests until
+    def compact_lineage(
+        self, max_paths: int = 64, retention_batches: int | None = None
+    ) -> "IceboxTable":
+        """Maintenance: fold lineage dirs into merged segments — a
+        metadata + tiny-data commit bounding two O(#commits) growths a
+        long-running stream otherwise accrues: the manifest's
+        lineage_paths list (rewritten with every commit) and the
+        lineage dir count (read_lineage opens one file set per batch).
+
+        Two-level fold so total I/O is NOT quadratic in stream length:
+        when the per-batch TAIL outgrows `max_paths`, only the tail
+        folds into a new merged segment (O(max_paths) rows per fold —
+        the steady-state case); when the merged segments themselves
+        outgrow `max_paths`, they refold into one (every ~max_paths²
+        commits). History is preserved row-for-row — read_lineage()
+        returns the identical frame — unless `retention_batches` is
+        set, which drops rows older than (max folded batch_id −
+        retention) at fold time: the metrics-retention knob that keeps
+        even the rare full refold bounded on a months-long stream.
+
+        Superseded dirs stay referenced by OLDER manifests until
         expire_snapshots drops those manifests, after which expiry
-        reclaims the dirs (lineage subdirs are expiry-tracked
+        reclaims them (lineage subdirs are expiry-tracked
         individually). Lineage is O(#batches·#buckets) tiny rows, so
         this is driver-side pyarrow only — no Spark job; idempotent
-        (no-op at or under max_paths); safe to re-run after a crash."""
+        (no-op under budget); safe to re-run after a crash (an orphan
+        merged dir from a crash before the manifest publish is grace-
+        swept). The commit records "bucket_ids": [] so concurrent
+        rewrites with retry_on_conflict rebase across it (it touches no
+        buckets) instead of failing."""
+        if max_paths < 1:
+            raise ValueError("max_paths must be >= 1")
         paths = self.manifest["lineage_paths"]
-        if len(paths) <= max_paths:
+        segs = [
+            p for p in paths if os.path.basename(p).startswith("merged-")
+        ]
+        tail = [
+            p for p in paths
+            if not os.path.basename(p).startswith("merged-")
+        ]
+        if len(tail) > max_paths:
+            fold, keep = tail, segs  # steady state: tail-only fold
+        elif len(segs) > max_paths:
+            fold, keep = segs, tail  # rare: refold the segments
+        else:
             return self
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         tables = []
-        for rel in paths:
+        for rel in fold:
             absd = os.path.join(self.root, rel)
             for f in sorted(os.listdir(absd)):
                 if f.endswith(".parquet"):
                     tables.append(pq.read_table(os.path.join(absd, f)))
         merged = pa.concat_tables(tables)
+        if retention_batches is not None and merged.num_rows:
+            import pyarrow.compute as pc
+
+            wm = pc.max(merged["batch_id"]).as_py()
+            merged = merged.filter(
+                pc.greater_equal(
+                    merged["batch_id"], wm - int(retention_batches)
+                )
+            )
         rel = os.path.join(
             "data", "lineage",
             f"merged-{self.snapshot_id + 1:08d}-{uuid.uuid4().hex[:8]}",
@@ -2170,9 +2220,13 @@ class IceboxTable:
             "snapshot_id": self.snapshot_id + 1,
             "parent_id": self.snapshot_id,
             "tag": None,
-            "lineage_paths": [rel],
+            "lineage_paths": (
+                keep + [rel] if fold is tail else [rel] + keep
+            ),
             "summary": {
-                "operation": "compact_lineage", "folded": len(paths),
+                "operation": "compact_lineage",
+                "folded": len(fold),
+                "bucket_ids": [],
             },
         }
         self._check_current()
@@ -2306,9 +2360,8 @@ class IceboxTable:
 
         # top-level data dirs (bucket snapshots, delta sets); the
         # lineage parent is swept at subdir granularity below
-        _sweep(
-            data_dir, referenced | {"lineage"}, expired_refs - {"lineage"}
-        )
+        # (_dirs_of never emits "lineage", so expired_refs can't hold it)
+        _sweep(data_dir, referenced | {"lineage"}, expired_refs)
         _sweep(os.path.join(data_dir, "lineage"), lin_ref, lin_expired)
         removed_manifests = 0
         for sid in snaps:

@@ -138,6 +138,53 @@ def test_changes_compaction_only_interval_is_statically_empty(spark, tdir):
     assert chg.columns == [*[f.name for f in t.schema.fields], "_change_type"]
 
 
+def test_changes_across_maintenance_commits_stays_incremental(spark, tdir):
+    """Spine maintenance (z-order rewrite, analyze, lineage fold) moves
+    no logical rows: an interval containing them plus ONE real delta
+    batch must diff exactly that batch AND stay on the fast path —
+    reading the interval's delta files, never both full snapshots.
+    (Regression: any op missing from changes()'s whitelist silently
+    degrades every incremental consumer to the full-state diff.)"""
+    log = gen_event_log(spark, n_events=800, n_docs=150, batch_size=400,
+                        partitions=4)
+    log_pdf = log.toPandas()
+    t, sids = _replay_to(spark, tdir, log, stops={0, 1})  # batches 0,1
+    # maintenance storm between the cursor's two polls
+    t = t.rewrite_clustered(["n_tok"], files_per_bucket=2)
+    t = t.analyze()
+    t = t.compact_lineage(max_paths=1)
+    assert t.manifest["summary"]["operation"] == "compact_lineage"
+    # tiny real batch after the maintenance storm: touches few buckets
+    ev = spark.createDataFrame(
+        [(10_000_000, "update", "doc_%08d" % 1, [42], 1, "web"),
+         (10_000_001, "delete", "doc_%08d" % 2, None, None, None)],
+        "lsn long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    t = apply_batch(t, ev, 99, merge_strategy="delta")
+    log2 = __import__("pandas").concat(
+        [log_pdf[log_pdf["batch_id"] <= 1],
+         __import__("pandas").DataFrame(
+             {"lsn": [10_000_000, 10_000_001], "batch_id": [99, 99],
+              "op": ["update", "delete"],
+              "doc_id": ["doc_%08d" % 1, "doc_%08d" % 2],
+              "tokens": [[42], None], "n_tok": [1, None],
+              "source": ["web", None]})]
+    )
+    chg = t.changes(sids[1])
+    assert _got_diff(chg) == _expected_diff(
+        _state(log_pdf, 1), _state(log2, 99)
+    )
+    # fast path held: bucket-pruned reads (2 touched buckets of 8) —
+    # a full_diff would scan EVERY bucket of both snapshots
+    files = chg.inputFiles()
+    assert files
+    full = len(t.read().inputFiles()) + len(
+        IceboxTable.load(spark, t.root, sids[1]).read().inputFiles()
+    )
+    assert len(files) < full, (len(files), full)
+
+
 def test_changes_across_rollback_full_diff_correct(spark, tdir):
     log = gen_event_log(
         spark, n_events=1200, n_docs=150, batch_size=400,

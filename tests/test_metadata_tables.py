@@ -122,7 +122,7 @@ def test_compact_lineage_bounds_manifest_and_reclaims(spark, tdir):
     t = t.compact_lineage(max_paths=2)
     assert len(t.manifest["lineage_paths"]) == 1
     assert t.manifest["summary"] == {
-        "operation": "compact_lineage", "folded": 3,
+        "operation": "compact_lineage", "folded": 3, "bucket_ids": [],
     }
     assert sorted(map(tuple, t.read_lineage().collect())) == before
     # old dirs still on disk (older manifests reference them)...
@@ -141,6 +141,27 @@ def test_compact_lineage_bounds_manifest_and_reclaims(spark, tdir):
     os.makedirs(staged)
     res = t.expire_snapshots(keep_last=1)
     assert os.path.isdir(staged) and res["skipped_orphans"] >= 1
+    os.rmdir(staged)
+
+    # two-level steady state: more batches -> tail folds into a NEW
+    # segment, the prior segment is NOT rewritten (non-quadratic I/O)
+    seg0 = t.manifest["lineage_paths"][0]
+    log2 = (
+        gen_event_log(spark, n_events=600, n_docs=80, batch_size=200,
+                      partitions=4)
+        .withColumn("lsn", F.col("lsn") + 10_000)
+        .withColumn("batch_id", F.col("batch_id") + 3)
+    )
+    from data_pipeline_spark.cdc import replay_log as _rl
+    t = _rl(t, log2, n_salts=4, merge_strategy="delta")
+    t = t.compact_lineage(max_paths=2)
+    ps = t.manifest["lineage_paths"]
+    assert ps[0] == seg0 and len(ps) == 2  # old segment untouched
+    assert t.read_lineage().select("batch_id").distinct().count() == 6
+
+    # retention: a refold under retention_batches drops old batches
+    t2 = t.compact_lineage(max_paths=1, retention_batches=0)
+    assert t2.read_lineage().select("batch_id").distinct().count() == 1
 
 
 def test_expire_older_than_keeps_recent(spark, tdir):
