@@ -114,16 +114,7 @@ def purge_keys(
     never-seen id is vacuously done). Tagged `delete:{op_id}`."""
     import pyspark.sql.functions as _F
 
-    key_field = next(f for f in table.schema.fields if f.name == table.key)
-    from pyspark.sql.types import StructField, StructType
-
-    keys_schema = StructType([StructField(table.key, key_field.dataType)])
-    bucket_rows = (
-        table.spark.createDataFrame([(k,) for k in keys], keys_schema)
-        .select(table.key, table.bucket_of().alias("_b"))
-        .collect()
-    )
-    buckets = sorted({int(r["_b"]) for r in bucket_rows})
+    buckets = table.buckets_for_keys(keys)
     live = table.read(buckets=buckets, internal=True, keys=list(keys)).filter(
         ~_F.coalesce(_F.col("_tombstone"), _F.lit(False))
     )

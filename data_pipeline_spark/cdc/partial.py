@@ -41,6 +41,9 @@ column-level LWW over a keyed change feed.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -65,6 +68,44 @@ def _NEG():
     return F.struct(
         F.lit(-(1 << 62)).cast("long").alias("l"), F.lit(-1).alias("r")
     )
+
+
+# Commits that move/relabel physical bytes or metadata but apply no
+# change events; the enforce_order watermark chain must look THROUGH
+# them, or a compact/split/cluster interleaved by run_stream between two
+# columnar epochs silently disables the out-of-order refusal for the
+# next batch. Same op set the change feed skips (icebox.table changes()),
+# plus split_buckets (rows move between buckets, no logical change).
+_MAINTENANCE_OPS = frozenset(
+    {
+        "compact",
+        "rewrite_clustered",
+        "rename_column",
+        "drop_column",
+        "analyze",
+        "compact_lineage",
+        "split_buckets",
+    }
+)
+
+
+def _last_logical_summary(table: IceboxTable) -> dict:
+    """Summary of the most recent NON-maintenance commit, walking parent
+    pointers driver-side (tiny snap-*.json reads, O(length of the
+    current maintenance run) — bounded by cluster_every/compact cadence).
+    Logical ops (merge, rollback, overwrite, create) stop the walk:
+    row-mode merges and rollbacks deliberately RESET the columnar
+    watermark chain."""
+    m = table.manifest
+    meta_dir = os.path.join(table.root, "metadata")
+    s = m.get("summary") or {}
+    pid = m.get("parent_id")
+    while s.get("operation") in _MAINTENANCE_OPS and pid is not None:
+        with open(os.path.join(meta_dir, f"snap-{pid:08d}.json")) as f:
+            m = json.load(f)
+        s = m.get("summary") or {}
+        pid = m.get("parent_id")
+    return s
 
 
 def fold_partial_updates(
@@ -248,10 +289,13 @@ def _apply_columnar(
         # turns the detectable symptom (some key's newest lsn at or below
         # the previous same-mode merge's global watermark) into a loud
         # refusal so the disorder is caught before the mixed case bites.
-        # The watermark chain resets across non-columnar commits
-        # (compaction, rollback, row-mode merges).
+        # The watermark chain resets across non-columnar LOGICAL commits
+        # (rollback, row-mode merges) but looks THROUGH maintenance
+        # commits (compact/split/cluster/lineage — _last_logical_summary),
+        # or run_stream's interleaved maintenance would silently disable
+        # the refusal for the following epoch.
         if enforce_order:
-            prev = table.manifest.get("summary") or {}
+            prev = _last_logical_summary(table)
             if prev.get("mode") == mode and prev.get("lsn_watermark") is not None:
                 batch_min = min(int(r["_wm_min"]) for r in stats if r["n"])
                 if batch_min <= int(prev["lsn_watermark"]):

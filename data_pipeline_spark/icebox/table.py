@@ -888,24 +888,26 @@ class IceboxTable:
         engine's analog of the reference's indexed grid probe
         (/root/reference/grid-and-attrs/footprint.js:134-144).
         """
-        import pyspark.sql.functions as _F
-
-        # same transform as bucket_expr, evaluated on a tiny keys frame;
-        # schema comes from the table's actual key type — xxhash64 over a
-        # mistyped column would compute different buckets and silently
-        # miss rows
-        key_field = next(f for f in self.schema.fields if f.name == self.key)
-        keys_schema = StructType([StructField(self.key, key_field.dataType)])
-        bucket_rows = (
-            self.spark.createDataFrame([(k,) for k in keys], keys_schema)
-            .select(self.key, self.bucket_of().alias("_b"))
-            .collect()
-        )
-        buckets = sorted({int(r["_b"]) for r in bucket_rows})
+        buckets = self.buckets_for_keys(keys)
         # keys= pushes the isin predicate into every scan AND lets the
         # manifest's per-(delta, bucket) key bounds skip whole delta
         # commits driver-side (see read())
         return self.read(buckets=buckets, keys=list(keys), columns=columns)
+
+    def buckets_for_keys(self, keys: list) -> list[int]:
+        """Bucket ids the given keys hash into — the driver-side keyed
+        probe every point read/delete shares. The same transform as
+        bucket_expr, evaluated on a tiny keys frame whose schema comes
+        from the table's ACTUAL key type — xxhash64 over a mistyped
+        column would compute different buckets and silently miss rows."""
+        key_field = next(f for f in self.schema.fields if f.name == self.key)
+        keys_schema = StructType([StructField(self.key, key_field.dataType)])
+        bucket_rows = (
+            self.spark.createDataFrame([(k,) for k in keys], keys_schema)
+            .select(self.bucket_of().alias("_b"))
+            .collect()
+        )
+        return sorted({int(r["_b"]) for r in bucket_rows})
 
     def read_lineage(self) -> DataFrame:
         paths = [os.path.join(self.root, p) for p in self.manifest["lineage_paths"]]

@@ -272,23 +272,32 @@ class InvertedIndex:
             F.col("_e.term").alias("term"),
             F.col("_k").alias("doc_id"),
         )
-        if events.isEmpty():
-            # posting-less interval (compaction/split-only commits, or
-            # updates that left every term set unchanged): move the
-            # position without minting an empty snapshot — the tag list
-            # stays sparse, _applied_position() tracks the max (the same
-            # fast path as MaterializedAggregate's empty-delta case)
+        # persist: the diff join + explode is the heaviest job of every
+        # refresh, and it feeds BOTH the emptiness probe and apply_batch's
+        # dedup/write jobs — without the cache it would run end-to-end
+        # once per consumer (2-3× per epoch on the streaming spine)
+        events = events.persist()
+        try:
+            if events.isEmpty():
+                # posting-less interval (compaction/split-only commits,
+                # or updates that left every term set unchanged): move
+                # the position without minting an empty snapshot — the
+                # tag list stays sparse, _applied_position() tracks the
+                # max (the same fast path as MaterializedAggregate's
+                # empty-delta case)
+                self.cursor.ack(to_sid)
+                return self.view
+            self.view = apply_batch(
+                self.view,
+                events,
+                batch_id=int(to_sid),
+                tag_prefix=f"{self.TAG_PREFIX}:{self.name}",
+                merge_strategy="delta",
+            )
             self.cursor.ack(to_sid)
             return self.view
-        self.view = apply_batch(
-            self.view,
-            events,
-            batch_id=int(to_sid),
-            tag_prefix=f"{self.TAG_PREFIX}:{self.name}",
-            merge_strategy="delta",
-        )
-        self.cursor.ack(to_sid)
-        return self.view
+        finally:
+            events.unpersist()
 
     def maintain(self, compact_ratio: float = 0.5) -> IceboxTable:
         """Fold accumulated posting deltas when they outgrow the base."""

@@ -48,7 +48,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from .cdc.apply import apply_batch
 from .icebox.cursor import ChangeCursor
-from .icebox.table import IceboxTable, bucket_expr
+from .icebox.table import IceboxTable
 
 
 class MaterializedAggregate:
@@ -57,6 +57,10 @@ class MaterializedAggregate:
     ``sum_cols`` must be integral source columns (long sums — exactly
     reproducible under retraction; float sums would drift by fold order
     and are refused rather than silently approximated).
+
+    Rows whose ``group_col`` is NULL are excluded from the view (the
+    view is keyed on the group and icebox keys are non-null); coalesce
+    to a sentinel group upstream if NULLs must be counted.
     """
 
     TAG_PREFIX = "mv"
@@ -141,7 +145,16 @@ class MaterializedAggregate:
             .otherwise(F.lit(-1))
             .alias("_w")
         )
-        deltas = chg.select(g, w, *self.sum_cols).groupBy(g).agg(
+        # NULL-group rows are EXCLUDED from the view (the view is keyed
+        # on group_col and icebox keys are non-null — a NULL-key event
+        # would be refused as malformed and wedge the cursor on this
+        # interval forever). Schema evolution backfills NULLs for
+        # pre-evolution rows, so this is a reachable case, not a
+        # hypothetical; coalesce upstream to a sentinel group if NULLs
+        # must be counted.
+        deltas = chg.filter(F.col(g).isNotNull()).select(
+            g, w, *self.sum_cols
+        ).groupBy(g).agg(
             F.sum("_w").alias("_d_n"),
             *[
                 F.sum(F.col("_w") * F.col(c).cast("long")).alias(f"_d_{c}")
@@ -158,11 +171,12 @@ class MaterializedAggregate:
 
         # old view state, pruned to the buckets the deltas touch
         # (driver-side list is O(#buckets) — bucket ids, not group keys)
+        # the view's OWN bucket transform (bucket_of honors bucket_sep
+        # and any future layout fields; a hand-built bucket_expr here
+        # would silently diverge from the table layout and mis-prune)
         bsel = [
             r["_b"]
-            for r in deltas.select(
-                bucket_expr(self.view.n_buckets, g).alias("_b")
-            )
+            for r in deltas.select(self.view.bucket_of().alias("_b"))
             .distinct()
             .collect()
         ]

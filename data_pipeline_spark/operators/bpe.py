@@ -148,6 +148,27 @@ def bpe_train(
     return {"merges": merges, "vocab": vocab}
 
 
+def model_to_portable(model: dict) -> dict:
+    """JSON-safe compact form: merges + the base character set (a single
+    string, id order). Vocab ids reconstruct exactly — insertion order is
+    <unk>, chars, then merge outputs — so the portable form stays
+    O(n_merges + charset), small enough to ride in a commit summary."""
+    n_chars = len(model["vocab"]) - 1 - len(model["merges"])
+    chars = list(model["vocab"])[1 : 1 + n_chars]
+    return {"merges": [list(p) for p in model["merges"]],
+            "chars": "".join(chars)}
+
+
+def model_from_portable(d: dict) -> dict:
+    merges = [tuple(p) for p in d["merges"]]
+    vocab = {"<unk>": UNK_ID}
+    for c in d["chars"]:
+        vocab[c] = len(vocab)
+    for a, b in merges:
+        vocab[a + b] = len(vocab)
+    return {"merges": merges, "vocab": vocab}
+
+
 def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply merges in rank order: repeatedly merge the lowest-rank
     adjacent pair (the standard BPE encode loop)."""

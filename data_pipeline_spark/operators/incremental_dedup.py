@@ -306,13 +306,23 @@ class IncrementalDeduper:
             return self.compact()
         return 0
 
-    def compact(self) -> int:
+    def compact(self, orphan_grace: float = 3600.0) -> int:
         """Fold every committed segment into ONE file set per pb
         partition (rows sorted by bkey for row-group pruning) so probe
         I/O is O(touched partitions), independent of applied-batch
         count — the LSM compaction twin of icebox.compact_if_needed.
         Returns the number of segments folded; safe to re-run (crash
-        before the STATE swap leaves old segments authoritative)."""
+        before the STATE swap leaves old segments authoritative).
+
+        Also reclaims ORPHANS: segment/assign dirs on disk but absent
+        from STATE — left by a crash between the segment write and the
+        STATE swap (or between a previous compact's STATE swap and its
+        rmtree loop). Probes never read them, but they accumulate
+        forever on a long stream without this. Same posture as icebox
+        snapshot expiry: an unreferenced dir is indistinguishable from a
+        concurrent apply's not-yet-committed write, so only dirs older
+        than `orphan_grace` seconds are removed."""
+        self._reclaim_orphans(orphan_grace)
         segs = self._state["segments"]
         if len(segs) <= 1:
             return 0
@@ -345,3 +355,37 @@ class IncrementalDeduper:
         for s in old:  # reclaim superseded segments (post-commit)
             shutil.rmtree(os.path.join(self.root, s), ignore_errors=True)
         return len(old)
+
+    def _reclaim_orphans(self, grace: float) -> int:
+        """Delete segment/assign dirs not referenced by STATE and older
+        than `grace` seconds (mtime). Driver-side listdir only."""
+        import time
+
+        now = time.time()
+        live_segs = set(self._state["segments"])
+        live_assign = {
+            os.path.basename(rel) for rel in self._state["batches"].values()
+        }
+        removed = 0
+
+        def _stale(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) >= grace
+            except OSError:
+                return False
+
+        for name in os.listdir(self.root):
+            if not (name.startswith("seg-") or name.startswith("compact-")):
+                continue
+            p = os.path.join(self.root, name)
+            if name not in live_segs and os.path.isdir(p) and _stale(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        assign_root = os.path.join(self.root, "assign")
+        if os.path.isdir(assign_root):
+            for name in os.listdir(assign_root):
+                p = os.path.join(assign_root, name)
+                if name not in live_assign and os.path.isdir(p) and _stale(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+        return removed

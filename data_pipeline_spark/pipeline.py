@@ -28,6 +28,9 @@ driver-memory bound.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -39,7 +42,12 @@ from pyspark.sql.types import (
 )
 
 from .icebox.table import IceboxTable
-from .operators.bpe import bpe_encode, bpe_train
+from .operators.bpe import (
+    bpe_encode,
+    bpe_train,
+    model_from_portable,
+    model_to_portable,
+)
 from .operators.curation import leakage_safe_split, quality_weighted_sample
 from .operators.text import quality_score
 
@@ -73,8 +81,27 @@ def tokenize_corpus(
     The landed table is immediately consumable by the CDC spine: later
     document changes arrive as change events and merge into it via
     apply_batch/run_stream. `tag` makes the landing exactly-once — a
-    crashed/re-run pipeline never double-writes.
+    crashed/re-run pipeline never double-writes: an existing root is
+    LOADED (not re-created), and a root whose `tag` already committed
+    returns immediately with the model persisted in that commit's
+    summary (no corpus pass at all on replay).
     """
+    model_path = os.path.join(table_root, "bpe_model.json")
+    if os.path.exists(os.path.join(table_root, "metadata")):
+        t = IceboxTable.load(spark, table_root)
+        if t.has_tag(tag):
+            if os.path.exists(model_path):
+                with open(model_path) as f:
+                    model = model_from_portable(json.load(f))
+            else:  # sidecar lost — retrain (deterministic, same corpus)
+                model = bpe_train(docs, n_merges=n_merges,
+                                  text_col=text_col, max_words=max_words)
+            return t, model
+        # created but the landing never committed (crash between create
+        # and commit_delta): fall through and land into the loaded table
+    else:
+        t = None
+
     kept = docs
     if quality_rate is not None:
         q = quality_score(docs, id_col=id_col, text_col=text_col)
@@ -89,10 +116,16 @@ def tokenize_corpus(
     splits = leakage_safe_split(kept, fractions=fractions,
                                 id_col=id_col, text_col=text_col)
 
-    t = IceboxTable.create(
-        spark, table_root, TRAIN_SCHEMA, n_buckets=n_buckets,
-        key="doc_id", immutable_cols=["source"],
-    )
+    if t is None:
+        t = IceboxTable.create(
+            spark, table_root, TRAIN_SCHEMA, n_buckets=n_buckets,
+            key="doc_id", immutable_cols=["source"],
+        )
+    # sidecar BEFORE the commit: a crash between them leaves an orphan
+    # file the retry overwrites; after the tag commits, replays read the
+    # model back instead of re-running the corpus pass
+    with open(model_path, "w") as f:
+        json.dump(model_to_portable(model), f)
     out = (
         enc.select(
             F.col(id_col).cast("string").alias("doc_id"),

@@ -244,3 +244,39 @@ def test_run_stream_dedup_index_compaction_knob(spark, tdir):
     assert len(ded._state["segments"]) <= 2  # LSM stayed folded
     for t in epochs:  # assignments survive compaction
         assert ded._read_assign(t).count() > 0
+
+
+def test_compact_reclaims_crash_orphans(spark, tdir):
+    """Dirs left by a crash between the segment write and the STATE swap
+    (segment + assign orphans, absent from STATE) must be reclaimed by
+    compact() once past the grace window — otherwise a long-running
+    stream leaks disk without bound."""
+    import shutil
+
+    root = os.path.join(tdir, "dd")
+    d = _deduper(spark, root)
+    d.apply_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    d.apply_batch(_docs(spark, [(3, BASE + " tail")]), 1)
+
+    # fake a crashed apply: segment + assign dirs on disk, not in STATE
+    live_seg = d._state["segments"][0]
+    orphan_seg = os.path.join(root, "seg-99-deadbeef")
+    shutil.copytree(os.path.join(root, live_seg), orphan_seg)
+    orphan_assign = os.path.join(root, "assign", "seg-99-deadbeef")
+    shutil.copytree(
+        os.path.join(root, d._state["batches"]["0"]), orphan_assign
+    )
+
+    # inside the grace window nothing is touched
+    d.compact(orphan_grace=3600.0)
+    assert os.path.isdir(orphan_seg) and os.path.isdir(orphan_assign)
+
+    # past the grace window both orphans are reclaimed, committed
+    # segments/assignments survive, and probes still work
+    d.compact(orphan_grace=0.0)
+    assert not os.path.exists(orphan_seg)
+    assert not os.path.exists(orphan_assign)
+    a0 = {r["doc_id"]: r["rep_id"] for r in d.apply_batch(None, 0).collect()}
+    assert a0 == {1: 1, 2: 2}
+    out = d.apply_batch(_docs(spark, [(4, BASE + " more")]), 2)
+    assert {r["doc_id"]: r["rep_id"] for r in out.collect()} == {4: 1}

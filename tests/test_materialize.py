@@ -279,3 +279,48 @@ def test_streaming_mv_refresh_per_epoch(spark, tdir):
     )
     assert mv.view.snapshot_id == view_sid
     assert _got_view(mv) == _oracle_view(log_pdf, last_b)
+
+
+def test_null_group_rows_are_excluded_not_wedging(spark, tdir):
+    """A NULL group value (e.g. schema evolution backfilling NULL for
+    pre-evolution rows) must not wedge the refresh loop: the NULL-group
+    delta would be a null-key event apply_batch refuses, poisoning the
+    interval forever. NULL groups are excluded from the view instead."""
+    t = IceboxTable.create(
+        spark, os.path.join(tdir, "src"), BASE_SCHEMA, n_buckets=4
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, 0, "insert", "a", [1, 2], 2, "s1"),
+            (2, 0, "insert", "b", [3], 1, None),  # NULL group
+            (3, 0, "insert", "c", [4], 1, "s2"),
+        ],
+        "lsn long, batch_id int, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t = apply_batch(t, ev, batch_id=0)
+    mv = MaterializedAggregate(
+        spark, t, os.path.join(tdir, "mv"), group_col="source",
+        sum_cols=["n_tok"], name="by_source",
+    )
+    mv.source = t
+    mv.refresh()  # must not raise
+    got = _got_view(mv)
+    assert got == {"s1": (1, 2), "s2": (1, 1)}
+    # the cursor advanced past the interval (not wedged): a second
+    # refresh is a clean no-op
+    sid = mv.view.snapshot_id
+    mv.refresh()
+    assert mv.view.snapshot_id == sid
+    # and a later batch folds in normally
+    ev2 = spark.createDataFrame(
+        [(4, 1, "insert", "d", [5, 6], 2, "s1")],
+        "lsn long, batch_id int, op string, doc_id string, "
+        "tokens array<int>, n_tok int, source string",
+    )
+    t2 = apply_batch(IceboxTable.load(spark, os.path.join(tdir, "src")), ev2,
+                     batch_id=1)
+    mv.source = t2
+    mv.cursor.table = t2
+    mv.refresh()
+    assert _got_view(mv)["s1"] == (2, 4)

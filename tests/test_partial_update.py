@@ -275,3 +275,36 @@ def test_out_of_order_batch_refused(spark, tdir):
     t2 = apply_batch_partial(t, ev([(60, 3, "upsert", "a", [7], 1, "s")]), 3)
     row = {r["doc_id"]: list(r["tokens"]) for r in t2.read().collect()}
     assert row["a"] == [3]
+
+
+def test_out_of_order_refused_through_maintenance_commits(spark, tdir):
+    """Interleaved maintenance (compaction, bucket split) must not reset
+    the enforce_order watermark chain: run_stream interleaves compact/
+    split/cluster commits between epochs, and the refusal has to look
+    through them to the last columnar merge."""
+    t = IceboxTable.create(spark, os.path.join(tdir, "ooo_maint"),
+                           BASE_SCHEMA, n_buckets=2)
+
+    def ev(rows):
+        return spark.createDataFrame(rows, EV_DDL)
+
+    t = apply_batch_partial(t, ev([
+        (100, 0, "upsert", "a", [1], 1, "s"),
+        (101, 0, "upsert", "b", [2], 2, "s"),
+    ]), 0, enforce_order=True, merge_strategy="delta")
+    t = apply_batch_partial(t, ev([
+        (150, 1, "upsert", "a", [5], 1, "s"),
+    ]), 1, enforce_order=True, merge_strategy="delta")
+    # maintenance run between epochs: compaction then a bucket split
+    t = t.compact_if_needed(ratio=0.0)
+    assert t.manifest["summary"]["operation"] == "compact"
+    t = t.split_buckets(factor=2)
+    assert t.manifest["summary"]["operation"] == "split_buckets"
+    # late batch behind the pre-maintenance watermark must still refuse
+    with pytest.raises(ValueError, match="out-of-order"):
+        apply_batch_partial(t, ev([(50, 2, "upsert", "a", [9], 1, "s")]), 2,
+                            enforce_order=True, merge_strategy="delta")
+    # in-order continuation applies through the maintenance commits
+    t = apply_batch_partial(t, ev([(200, 3, "upsert", "b", [7], 2, "s")]), 3,
+                            enforce_order=True, merge_strategy="delta")
+    assert t.manifest["summary"]["lsn_watermark"] == 200

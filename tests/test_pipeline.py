@@ -61,6 +61,31 @@ def test_pipeline_is_deterministic_and_exactly_once(spark, tdir):
     df = t1.read(internal=True).withColumn("_b", t1.bucket_of())
     t1b = t1.commit_delta(df, {0: 1}, tag="tokenize-corpus-v1")
     assert t1b.snapshot_id == sid and _content_hash(t1b) == h
+    # re-running the WHOLE pipeline against the same root is the
+    # documented no-op: same table state, same model, no corpus pass
+    # (the model comes back from the sidecar) — and crucially no
+    # FileExistsError from re-creating the table
+    t1c, m1c = tokenize_corpus(spark, docs, r1, n_merges=20, n_buckets=2)
+    assert t1c.snapshot_id == sid and _content_hash(t1c) == h
+    assert m1c["merges"] == m1["merges"] and m1c["vocab"] == m1["vocab"]
+
+
+def test_pipeline_resumes_after_crash_between_create_and_land(spark, tdir):
+    """Crash window: the table was created but the landing commit never
+    ran. The rerun must land into the existing (empty) table instead of
+    raising FileExistsError."""
+    from data_pipeline_spark.pipeline import TRAIN_SCHEMA
+
+    docs = _docs(spark, n=20, n_dup_pairs=0).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    root = os.path.join(tdir, "crashed")
+    IceboxTable.create(spark, root, TRAIN_SCHEMA, n_buckets=2,
+                       key="doc_id", immutable_cols=["source"])
+    t, model = tokenize_corpus(spark, docs, root, n_merges=10, n_buckets=2)
+    assert t.read().count() == 20
+    assert t.has_tag("tokenize-corpus-v1")
+    assert model["merges"]
 
 
 def test_stream_tokenize_on_ingest(spark, tdir):
