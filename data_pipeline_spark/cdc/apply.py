@@ -219,33 +219,65 @@ def _dedup_with_stats(ev: DataFrame, key: str, table: IceboxTable) -> DataFrame:
     )
 
 
-def _quarantine_split(ev: DataFrame, key: str, batch_id, quarantine_dir: str):
+def _expectation_preds(expectations: dict[str, str] | None):
+    """(name, violation-predicate) pairs. A non-delete event VIOLATES
+    expectation `pred` when the SQL predicate is false OR null (an
+    unevaluable expectation is a failed one — the reference counts a
+    polygon whose validity probe throws among BAD_POLYGONS, not among
+    the good ones). Deletes carry no payload and bypass every
+    expectation."""
+    if not expectations:
+        return []
+    not_delete = F.col("op") != "delete"
+    return [
+        (name, not_delete & ~F.coalesce(F.expr(pred), F.lit(False)))
+        for name, pred in expectations.items()
+    ]
+
+
+def _quarantine_split(
+    ev: DataFrame,
+    key: str,
+    batch_id,
+    quarantine_dir: str,
+    expectations: dict[str, str] | None = None,
+):
     """Dead-letter split (see apply_batch quarantine_dir): route malformed
-    events to `quarantine_dir/batch_id=<id>/` with a reason column and
-    return only the valid remainder. The guard count means well-formed
-    batches pay nothing beyond one cheap aggregate; the per-batch
-    OVERWRITE makes crash-replays idempotent on the DLQ."""
+    events AND expectation violations to `quarantine_dir/batch_id=<id>/`
+    with a reason column and return only the valid remainder. One guard
+    count means clean batches pay a single cheap aggregate; the
+    per-batch OVERWRITE makes crash-replays idempotent on the DLQ (both
+    reason families share the one write, so a batch with both kinds of
+    bad rows still lands exactly one DLQ dir)."""
     import os
 
     bad_pred = _bad_event_pred(key)
-    n_bad = ev.filter(bad_pred).count()
+    viols = _expectation_preds(expectations)
+    drop_pred = bad_pred
+    for _, vp in viols:
+        drop_pred = drop_pred | vp
+    n_bad = ev.filter(drop_pred).count()
     if not n_bad:
         return ev
+    # malformed reasons first (structural beats semantic), then
+    # expectations in declaration order — first match names the row
     reason = (
         F.when(
             ~F.coalesce(F.col("op").isin(list(OP_RANK)), F.lit(False)),
             F.lit("unknown_op"),
         )
         .when(F.col("lsn").isNull(), F.lit("null_lsn"))
-        .otherwise(F.lit(f"null_{key}"))
+        .when(F.col(key).isNull(), F.lit(f"null_{key}"))
     )
+    for name, vp in viols:
+        reason = reason.when(vp, F.lit(f"expect:{name}"))
     (
-        ev.filter(bad_pred)
+        ev.filter(drop_pred)
         .withColumn("_quarantine_reason", reason)
         .write.mode("overwrite")
         .parquet(os.path.join(quarantine_dir, f"batch_id={batch_id}"))
     )
-    return ev.filter(~bad_pred)
+    return ev.filter(~drop_pred)
 
 
 def apply_batch(
@@ -258,6 +290,7 @@ def apply_batch(
     merge_strategy: str = "auto",
     retry_on_conflict: int = 0,
     quarantine_dir: str | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> IceboxTable:
     """Apply one change batch; returns the table at the new snapshot.
 
@@ -274,6 +307,21 @@ def apply_batch(
     via the batch summary. Costs one extra scan of the raw events ONLY
     when malformed rows are actually present (a cheap bad-count
     aggregate guards the split).
+
+    expectations: declarative row-level validity gates — {name: SQL
+    predicate over the normalized event columns}, e.g.
+    {"n_tok_matches": "n_tok = size(tokens)", "has_source":
+    "source is not null"}. A non-delete event violating any predicate
+    (false OR null — an unevaluable expectation is a failed one) is
+    handled like a malformed event: with quarantine_dir it routes to the
+    DLQ with reason `expect:<name>` and the remainder applies; without,
+    the whole batch rejects (schema rollback, no trace) naming the
+    per-expectation counts. Deletes bypass expectations (no payload).
+    This is the engine's generalization of the reference's validity
+    guards — skip the bad polygon, count it, keep going
+    (/root/reference/grid-and-attrs/app.js:136-141 BAD_POLYGONS /
+    ALL_ERRORS counters; footprint.js:86-103 repair-then-validate).
+    Costs one extra aggregate job per batch only when declared.
 
     Exactly-once: the commit is tagged `{tag_prefix}:{batch_id}`; if that
     tag is already committed the whole call is a no-op (idempotent replay
@@ -313,7 +361,29 @@ def apply_batch(
     saved_schemas = dict(table.manifest["schemas"])
     ev = normalize_events(events, table)
     if quarantine_dir is not None:
-        ev = _quarantine_split(ev, key, batch_id, quarantine_dir)
+        ev = _quarantine_split(ev, key, batch_id, quarantine_dir,
+                               expectations=expectations)
+    elif expectations:
+        # strict mode: violations reject the whole batch, same contract
+        # as malformed events (one aggregate job, only when declared)
+        viols = _expectation_preds(expectations)
+        row = ev.select(
+            *[F.sum(vp.cast("long")).alias(f"_x{i}")
+              for i, (_, vp) in enumerate(viols)]
+        ).first()
+        counts = {
+            name: int(row[f"_x{i}"] or 0)
+            for i, (name, _) in enumerate(viols)
+            if row[f"_x{i}"]
+        }
+        if counts:
+            table.manifest["current_schema_id"] = saved_schema_id
+            table.manifest["schemas"] = saved_schemas
+            raise ValueError(
+                f"batch {batch_id}: expectation violations {counts} — "
+                "refusing to apply (set quarantine_dir to route them to "
+                "the dead-letter queue instead)"
+            )
     if merge_strategy == "delta" and dedup_strategy == "agg":
         # fused fast path: ONE heavy job (scan → dedup agg → sorted delta
         # write, per-winner stats riding along as extra parquet columns),

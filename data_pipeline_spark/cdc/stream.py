@@ -49,6 +49,7 @@ def run_stream(
     agg_specs: dict[str, str] | None = None,
     event_transform=None,
     quarantine_dir: str | None = None,
+    expectations: dict[str, str] | None = None,
     cluster_cols: list[str] | None = None,
     cluster_every: int = 8,
     cluster_files_per_bucket: int = 4,
@@ -142,6 +143,11 @@ def run_stream(
     only; see apply_batch) — without it one producer bug rejects its
     whole epoch and stalls the stream at that file.
 
+    expectations: row-level validity gates ({name: SQL predicate},
+    row-mode only; see apply_batch) — with quarantine_dir violations
+    route to the DLQ with reason `expect:<name>` and the stream keeps
+    flowing; without it a violating epoch refuses loudly.
+
     cluster_cols: z-order maintenance on the spine (rewrite_clustered)
     — every `cluster_every` epochs the table is rewritten Morton-
     clustered on these columns, `cluster_files_per_bucket` z-range
@@ -194,6 +200,7 @@ def run_stream(
                 tag_prefix=f"stream:{query_name}",
                 merge_strategy=merge_strategy,
                 quarantine_dir=quarantine_dir,
+                expectations=expectations,
             )
         if dedup_index is not None:
             import pyspark.sql.functions as F
