@@ -12,7 +12,7 @@ MERGE path. Prints exactly ONE JSON line:
 Knobs (env):
     SPARK_GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[k] parallelism (default 32)
-    BENCH_CDC_EVENTS     CDC replay size (default 2_000_000)
+    BENCH_CDC_EVENTS     CDC replay size (default 8_000_000)
     BENCH_CDC_BATCHES    number of micro-batches (default 4)
     BENCH_SKIP_QUERIES   "1" → only the CDC throughput run (scaling bench)
 
@@ -44,6 +44,9 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_WRITE_PATHS_WARM = False  # set once either warmup path has run this JVM
+
+
 def _warmup(spark, sf_dir: str) -> None:
     """Warm JVM JIT / whole-stage-codegen / shuffle paths before timing.
 
@@ -72,7 +75,14 @@ def _warm_write_paths(spark) -> None:
     tiny apply_batch in a fresh JVM costs ~6s vs ~1s warm — all
     write/commit JIT, the same measurement-order artifact _warmup already
     fixes for scan/window/agg. One 50k-event replay through each merge
-    path absorbs it outside any timed window."""
+    path absorbs it outside any timed window. Runs at most once per JVM:
+    in the default flow bench_cdc_throughput has already exercised both
+    merge paths (its own warm replay + timed reps), so repeating it here
+    would be pure wall-clock overhead."""
+    global _WRITE_PATHS_WARM
+    if _WRITE_PATHS_WARM:
+        return
+    _WRITE_PATHS_WARM = True
     work = tempfile.mkdtemp(prefix="bench_warm_")
     try:
         warm_ev = gen_event_log(spark, 50_000, 5_000, batch_size=25_000,
@@ -129,6 +139,10 @@ def bench_cdc_throughput(
             spark, os.path.join(work, "t_warm"), BASE_SCHEMA, n_buckets=n_buckets
         )
         replay_log(t_w, warm_ev, n_salts=n_salts, merge_strategy="delta")
+        # this run + the CoW reps below warm both merge paths — the
+        # query-phase _warm_write_paths would be a duplicate
+        global _WRITE_PATHS_WARM
+        _WRITE_PATHS_WARM = True
 
         # steady-state merge-on-read path (delta commits, O(batch)
         # writes): 2 reps on fresh tables, median reported — this VM's

@@ -233,7 +233,8 @@ def token_docs_sql(n_docs: int) -> str:
     tok_j = h64_sql(
         "CAST(i AS VARCHAR) || ':' || CAST((j // 2) AS VARCHAR)", salt="tok"
     )
-    src = f"['web','books','code','wiki'][CAST({h64_sql(ls, salt='src')} % 4 + 1 AS INT)]"
+    src = (f"[{','.join(chr(39) + s + chr(39) for s in SOURCES)}]"
+           f"[CAST({h64_sql(ls, salt='src')} % {len(SOURCES)} + 1 AS INT)]")
     return f"""
     SELECT printf('doc_%06d', i) AS doc_id,
            [CAST({tok_j} % {VOCAB} AS INT) for j in range(0, {length})] AS tokens,
@@ -255,7 +256,8 @@ def portable_event_log_sql(
     )
     length = f"({h64_sql(ls, salt='len')} % {P_MAX_LEN - P_MIN_LEN + 1} + {P_MIN_LEN})"
     tok_j = h64_sql("CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)", salt="tok")
-    src = f"['web','books','code','wiki'][CAST({h64_sql(ls, salt='src')} % 4 + 1 AS INT)]"
+    src = (f"[{','.join(chr(39) + s + chr(39) for s in SOURCES)}]"
+           f"[CAST({h64_sql(ls, salt='src')} % {len(SOURCES)} + 1 AS INT)]")
     return f"""
     SELECT
       i AS lsn,

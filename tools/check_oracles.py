@@ -43,7 +43,16 @@ def _eq(a, b) -> tuple[bool, str]:
         for i in range(len(av)):
             x, y = av[i], bv[i]
             if isinstance(x, tuple) or isinstance(y, tuple):
-                if tuple(x or ()) != tuple(y or ()):
+                # NULL array and empty array are DIFFERENT values — a
+                # bare `x or ()` would conflate them and hide exactly
+                # the empty-vs-null bug class the CSV helpers elsewhere
+                # exist to distinguish
+                xn = x is None or (isinstance(x, float) and math.isnan(x))
+                yn = y is None or (isinstance(y, float) and math.isnan(y))
+                if xn or yn:
+                    if xn != yn:
+                        return False, f"col {c} row {i}: {x} vs {y} (null)"
+                elif tuple(x) != tuple(y):
                     return False, f"col {c} row {i}: {str(x)[:60]} vs {str(y)[:60]}"
             elif isinstance(x, float) or isinstance(y, float):
                 xn = x is None or (isinstance(x, float) and math.isnan(x))
@@ -83,6 +92,10 @@ def main() -> int:
     )
     no_oracle = sorted(set(qs) - set(os_))
     assert not no_oracle, f"queries without an oracle twin: {no_oracle}"
+    # a typo'd name in the subset filter must fail loudly — silently
+    # matching nothing would print ALL OK having compared nothing
+    unknown = sorted(only - set(qs))
+    assert not unknown, f"unknown query names: {unknown}"
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -18,6 +18,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from data_pipeline_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as E  # noqa: E402
 
+# Conf save/restore that preserves UNSET-ness: writing back a guessed
+# default (e.g. '64MB' for the adaptive broadcast threshold, whose real
+# unset behavior is "fall back to spark.sql.autoBroadcastJoinThreshold")
+# would leave the session with an explicit non-default value and every
+# later audit section running under an inflated threshold.
+_UNSET = object()
+
+
+def _save_confs(conf, keys):
+    saved = {}
+    for k in keys:
+        try:
+            v = conf.get(k)
+        except Exception:  # unset and no resolvable default (raises)
+            v = None  # ...while some Spark versions return null instead
+        saved[k] = _UNSET if v is None else v
+    return saved
+
+
+def _restore_confs(conf, saved):
+    for k, v in saved.items():
+        if v is _UNSET:
+            conf.unset(k)
+        else:
+            conf.set(k, v)
+
 AUDITED = {
     "filter_project": [
         ("PushedFilters with actual predicates", r"PushedFilters: \[.*GreaterThan"),
@@ -203,17 +229,14 @@ def main() -> None:
     # maxPartitionBytes (at 100 TB it is a no-op by construction).
     out.append("## corpus_prep_pipeline — at-scale regime (broadcast disabled)\n")
     conf = spark.conf
-    saved = {
-        "spark.sql.autoBroadcastJoinThreshold": conf.get(
-            "spark.sql.autoBroadcastJoinThreshold"
+    saved = _save_confs(
+        conf,
+        (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.files.maxPartitionBytes",
         ),
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": conf.get(
-            "spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB"
-        ),
-        "spark.sql.files.maxPartitionBytes": conf.get(
-            "spark.sql.files.maxPartitionBytes"
-        ),
-    }
+    )
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.files.maxPartitionBytes", "65536")
@@ -222,8 +245,7 @@ def main() -> None:
         qe = df._jdf.queryExecution()
         plan = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
     finally:
-        for k, v in saved.items():
-            conf.set(k, v)
+        _restore_confs(conf, saved)
     # formatted output is numbered node blocks "(n) NodeName" followed by
     # detail lines (Input/Arguments) up to the next block — parse them so
     # "which columns cross which exchange" is answerable
@@ -280,13 +302,13 @@ def main() -> None:
     # 100 TB plan takes automatically; broadcast is disabled (a 100 TB
     # dim side wouldn't broadcast either).
     out.append("## runtime bloom-filter join (selective fact⋈dim, no broadcast)\n")
-    saved = {
-        k: conf.get(k)
-        for k in (
+    saved = _save_confs(
+        conf,
+        (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        )
-    }
+        ),
+    )
     rf_keys = {
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
@@ -308,8 +330,7 @@ def main() -> None:
         qe = j._jdf.queryExecution()
         plan = j._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
     finally:
-        for k, v in saved.items():
-            conf.set(k, v)
+        _restore_confs(conf, saved)
         conf.set(
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold",
@@ -595,7 +616,8 @@ def main() -> None:
     rowudf = [
         ln
         for ln in grep.stdout.splitlines()
-        if "pandas" not in ln and "#" not in ln.split(":", 2)[-1][:4]
+        if "pandas" not in ln
+        and not ln.split(":", 2)[-1].lstrip().startswith("#")
     ]
     out.append("## Python-UDF audit\n")
     if rowudf:
