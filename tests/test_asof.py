@@ -16,13 +16,14 @@ def _naive_asof(probe, build, direction="backward", allow_exact=True):
     for k, pts, pid in probe:
         best = None
         for bk, bts, bv in build:
-            if bk != k or bts is None:
-                continue
+            if bk != k or bts is None or pts is None:
+                continue  # null probe ts matches nothing (checked FIRST:
+                # the comparison below would TypeError on None)
             if direction == "backward":
                 ok = bts <= pts if allow_exact else bts < pts
             else:
                 ok = bts >= pts if allow_exact else bts > pts
-            if not ok or pts is None:
+            if not ok:
                 continue
             if best is None:
                 best = (bts, bv)

@@ -4,6 +4,7 @@ stop, resume from the checkpoint, verify no lost/duplicated events."""
 from __future__ import annotations
 
 import os
+import time
 
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
@@ -55,7 +56,7 @@ def test_stream_stop_resume_equals_clean_run(spark, tdir):
                    query_name="resumed", max_files_per_trigger=3, await_all=False)
     # stop mid-stream (after at least one epoch commits)
     while IceboxTable.load(spark, root).snapshot_id < 1 and q.isActive:
-        pass
+        time.sleep(0.05)  # don't starve the driver with manifest reads
     q.stop()
     q.awaitTermination()
     mid = IceboxTable.load(spark, root)
@@ -93,7 +94,7 @@ def test_stream_delta_mode_stop_resume_with_compaction(spark, tdir):
                    max_files_per_trigger=4, await_all=False,
                    merge_strategy="delta", compact_ratio=0.5)
     while IceboxTable.load(spark, root).snapshot_id < 1 and q.isActive:
-        pass
+        time.sleep(0.05)  # don't starve the driver with manifest reads
     q.stop()
     q.awaitTermination()
 

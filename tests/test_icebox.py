@@ -143,7 +143,10 @@ def test_expire_snapshots(spark, tdir):
 
     res = t.expire_snapshots(keep_last=2)
     assert res["removed_manifests"] > 0
-    assert len(os.listdir(os.path.join(root, "data"))) <= n_dirs_before
+    # strictly FEWER dirs: dirs referenced only by expired manifests are
+    # reclaimed exactly (4 superseded overwrites here) — `<=` would pass
+    # even if expiry leaked every orphan data dir
+    assert len(os.listdir(os.path.join(root, "data"))) < n_dirs_before
 
     t2 = IceboxTable.load(spark, root)
     assert t2.read().orderBy("doc_id").collect() == before

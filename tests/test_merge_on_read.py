@@ -69,20 +69,32 @@ def test_delta_replay_equals_cow_replay(spark, tdir):
 
 def test_delta_write_amplification_is_batch_sized(spark, tdir):
     """Delta commit k writes ~|batch k| rows even when every bucket is
-    touched; a CoW commit in the same shape rewrites the whole table."""
-    log = gen_event_log(spark, n_events=1600, n_docs=200, batch_size=400, partitions=4)
-    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA, n_buckets=8)
+    touched AND the standing table is ~15× a batch — so an
+    O(table)-per-commit regression (rewriting merged state into the
+    delta dir) overshoots the bound by an order of magnitude instead of
+    hiding under it (a fixture with n_docs ≤ batch_size cannot catch
+    that regression: whole-table ≈ batch there)."""
+    seed = gen_event_log(spark, n_events=4000, n_docs=2000, batch_size=4000,
+                         partitions=4)
+    inc = gen_event_log(spark, n_events=400, n_docs=2000, batch_size=100,
+                        partitions=4)
+    t = IceboxTable.create(spark, os.path.join(tdir, "t"), BASE_SCHEMA,
+                           n_buckets=8)
+    t = apply_batch(t, seed, "seed", n_salts=4, merge_strategy="delta")
+    assert t.read().count() > 1500  # standing table >> every later batch
     per_commit = []
-    prev = 0
+    prev = _delta_rows(t)
     for b in range(4):
         t = apply_batch(
-            t, log.filter(F.col("batch_id") == b), b, n_salts=4, merge_strategy="delta"
+            t, inc.filter(F.col("batch_id") == b), f"inc{b}", n_salts=4,
+            merge_strategy="delta",
         )
         now = _delta_rows(t)
         per_commit.append(now - prev)
         prev = now
-    # each commit's written rows ≤ that batch's event count (post-dedup)
-    assert all(w <= 400 for w in per_commit)
+    # each commit's written rows ≤ that batch's event count (post-dedup);
+    # an O(table) write would be >1500 per commit
+    assert all(0 < w <= 100 for w in per_commit), per_commit
 
 
 def test_compaction_bounds_files_and_preserves_reads(spark, tdir):

@@ -22,6 +22,7 @@ from data_pipeline_spark.cdc import apply_batch
 from data_pipeline_spark.icebox import IceboxTable
 from data_pipeline_spark.icebox.table import ConcurrentCommitError, bucket_expr
 
+from .oracle import assert_tables_equal
 from .test_cdc_apply import BASE_SCHEMA
 
 N_BUCKETS = 4
@@ -247,16 +248,4 @@ def test_delta_retry_matches_sequential_oracle(spark, tdir):
         apply_batch(h, bt, i, merge_strategy="delta",
                     retry_on_conflict=len(batches))
     tr = IceboxTable.load(spark, root_r)
-    left = tr.read().orderBy("doc_id").toPandas()
-    right = ts.read().orderBy("doc_id").toPandas()
-    assert left.shape == right.shape
-    for c in left.columns:
-        assert [
-            list(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__")
-            and not isinstance(v, str) else v
-            for v in left[c]
-        ] == [
-            list(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__")
-            and not isinstance(v, str) else v
-            for v in right[c]
-        ], c
+    assert_tables_equal(tr.read().toPandas(), ts.read().toPandas())

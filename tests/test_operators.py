@@ -301,10 +301,14 @@ def test_multimodal_resize_and_feature_pipeline(spark):
     feature-extract → embedding dedup finds the duplicate payloads."""
     from data_pipeline_spark.operators import multimodal as M
 
+    # (w,h) cycles with period lcm(3,4)=12 < 20, so ids 12..19 are EXACT
+    # payload duplicates of ids 0..7 — the dedup half below has real
+    # duplicates to find (a 7×5 cycle had period 35 > 20: zero dups, and
+    # the dedup assertion was vacuously true for any rep assignment)
     d = spark.range(20).select(
         F.col("id").alias("doc_id"),
-        (F.col("id") % 7 * 10 + 10).cast("int").alias("w"),
-        (F.col("id") % 5 * 10 + 10).cast("int").alias("h"),
+        (F.col("id") % 3 * 10 + 10).cast("int").alias("w"),
+        (F.col("id") % 4 * 10 + 10).cast("int").alias("h"),
     )
     media = M.pack_fake_media(d, "doc_id", "w", "h")
     resized = M.resize_media(media, width=64, height=48)
@@ -321,11 +325,12 @@ def test_multimodal_resize_and_feature_pipeline(spark):
             all_pairs=True,
         ).collect()
     }
-    # ids 0..34 cycle (w,h) with period lcm(7,5)=35 > 20 → duplicates are
-    # exactly the (w,h) collisions; id 0 has none within 20 except none.
-    # Planted check: every rep_id ≤ its id and grouping is consistent
-    assert all(v <= k for k, v in reps.items())
-    # at least the unit-norm features exist for every row
+    # planted duplicates resolve to the first-seen twin; the first cycle
+    # keeps itself as representative
+    for i in range(12, 20):
+        assert reps[i] == i - 12, (i, reps[i])
+    for i in range(12):
+        assert reps[i] == i, (i, reps[i])
     assert feats.count() == 20
 
 

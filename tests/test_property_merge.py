@@ -57,11 +57,14 @@ def _to_rows(events):
 
 def _dedupe_ties(rows):
     """The LWW contract resolves equal (lsn, op_rank) ties arbitrarily
-    among identical events only; drop conflicting same-(lsn,rank) payloads
-    the way a real binlog cannot produce them."""
+    among identical events only; drop conflicting same-(lsn,rank)
+    payloads PER KEY — the way a real binlog cannot produce them.
+    Different keys sharing an lsn are perfectly valid (per-key LWW is
+    unambiguous across keys) and must stay in the generated log, or the
+    property tests silently stop exercising that case."""
     best = {}
     for r in rows:
-        key = (r[0], OP_RANK[r[1]])
+        key = (r[0], OP_RANK[r[1]], r[2])  # (lsn, rank, doc_id)
         best.setdefault(key, r)
     return list(best.values())
 

@@ -65,15 +65,30 @@ def test_quarantine_replay_is_idempotent(spark, tdir):
     t = apply_batch(t, ev, 0, merge_strategy="delta", quarantine_dir=q)
     assert t.snapshot_id == sid
     assert spark.read.parquet(os.path.join(q, "batch_id=0")).count() == 3
-    # crash-sim: quarantine written but commit lost -> re-apply with a
-    # FRESH handle (tag absent) overwrites the batch subdir, no dup rows
+    # crash-sim: quarantine written but the COMMIT lost — the DLQ dir for
+    # batch 7 already exists when the SAME batch id is re-applied against
+    # a handle that never committed it (tag absent). The re-apply must
+    # OVERWRITE the subdir, not append to it: an append-mode DLQ would
+    # show 6 rows here and double-count every crash-replayed batch.
     t2 = IceboxTable.create(spark, os.path.join(tdir, "t2"), BASE_SCHEMA,
                             n_buckets=2)
+    (
+        ev.limit(0)  # simulate the orphan write a crashed apply left
+        .withColumn("_quarantine_reason", F.lit("stale"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(q, "batch_id=7"))
+    )
+    # plus a stale extra row, to prove overwrite (not merge) semantics
+    spark.createDataFrame(
+        [(99, "frobnicate", "zz", None, None, None, 7, "stale")],
+        "lsn long, op string, doc_id string, tokens array<int>, "
+        "n_tok int, source string, batch_id int, _quarantine_reason string",
+    ).write.mode("append").parquet(os.path.join(q, "batch_id=7"))
+    assert spark.read.parquet(os.path.join(q, "batch_id=7")).count() == 1
     apply_batch(t2, ev, 7, merge_strategy="delta", quarantine_dir=q)
-    apply_batch(IceboxTable.load(spark, os.path.join(tdir, "t2")), ev, 8,
-                merge_strategy="delta", quarantine_dir=q)
-    for b in (7, 8):
-        assert spark.read.parquet(os.path.join(q, f"batch_id={b}")).count() == 3
+    dlq7 = spark.read.parquet(os.path.join(q, "batch_id=7"))
+    assert dlq7.count() == 3  # overwrite: stale orphan gone, one copy
+    assert dlq7.filter(F.col("_quarantine_reason") == "stale").count() == 0
 
 
 def test_clean_batch_writes_no_dlq(spark, tdir):

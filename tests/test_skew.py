@@ -42,9 +42,13 @@ def test_salted_phase_spreads_hot_key(spark):
     )
     assert per_salt > 1  # hot key really spans multiple salt partitions
 
-    # the salted plan contains two window nodes (phase 1 + phase 2)
+    # the ENGINE's salted plan: two window nodes (phase 1 + phase 2) and
+    # the engine-created salt column partitioning phase 1 — the distinct
+    # count above only proves the test's own salt expression spreads, not
+    # that lww_dedup salts; this pins the engine side
     plan = lww_dedup(log, n_salts=8)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("window") >= 2
+    assert "_salt" in plan
 
 
 def test_ann_hot_bucket_bounded(spark):
