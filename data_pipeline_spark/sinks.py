@@ -50,16 +50,14 @@ def export_jsonl(
     arrays); the output round-trips through ``spark.read.json`` with the
     source schema.
     """
-    w = df.write.mode(mode).option("compression", compression)
-    if max_records_per_file:
-        w = w.option("maxRecordsPerFile", str(int(max_records_per_file)))
     if partition_cols:
         # one exchange: cluster each partition dir's rows onto few
         # writers, so a p-partition export writes O(p) files per record
         # cap, not O(tasks × p)
         df = df.repartition(*[F.col(c) for c in partition_cols])
-        w = df.write.mode(mode).option("compression", compression)
-        if max_records_per_file:
-            w = w.option("maxRecordsPerFile", str(int(max_records_per_file)))
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(int(max_records_per_file)))
+    if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.json(out_dir)
