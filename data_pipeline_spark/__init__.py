@@ -18,6 +18,7 @@ Layout:
               text analysis, multimodal plumbing)
   functions/  scalar expression library (built-in-first; pandas UDFs only
               where arrays demand it)
+  sinks.py    publish sink (partitioned, record-capped, gzip JSON-lines)
 """
 
 __version__ = "0.1.0"
