@@ -986,7 +986,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_rep(_t(spark, sf_dir, "documents"), k=16, bands=4, shingle=5)
 
 
-def _sql_dedup_minhash_lsh() -> str:
+def _sql_lsh_bands_ctes() -> str:
+    """The shared WITH-body computing the LSH edge list `bands`
+    (doc_id, b, bucket) — prefix for both the one-hop rep twin and the
+    closure twin."""
     band_concat = "concat_ws(',', " + ", ".join(
         f"CAST(sig[b*4+{r}] AS VARCHAR)" for r in range(1, 5)
     ) + ")"
@@ -994,15 +997,60 @@ def _sql_dedup_minhash_lsh() -> str:
         f"list_min(list_transform(hs, h -> ({a} * (h % {D.MINHASH_P}) + {b}) % {D.MINHASH_P}))"
         for a, b in D.minhash_consts(16)
     )
-    return f"""
-WITH sh AS (SELECT doc_id, {_SH5} AS s FROM documents),
+    return f"""sh AS (SELECT doc_id, {_SH5} AS s FROM documents),
 hs AS (SELECT doc_id, list_transform(s, x -> {h64_sql('x')}) AS hs FROM sh),
 sig AS (SELECT doc_id, [{mixes}] AS sig FROM hs),
-bands AS (SELECT doc_id, b, {h64_sql(band_concat)} AS bucket FROM sig, range(0,4) t(b)),
+bands AS (SELECT doc_id, b, {h64_sql(band_concat)} AS bucket FROM sig, range(0,4) t(b))"""
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    return f"""
+WITH {_sql_lsh_bands_ctes()},
 reps AS (SELECT b, bucket, min(doc_id) AS bucket_rep FROM bands GROUP BY b, bucket)
 SELECT bands.doc_id AS doc_id, min(bucket_rep) AS rep_id
 FROM bands JOIN reps USING (b, bucket) GROUP BY bands.doc_id
 """
+
+
+def _sql_lsh_components_ctes(n_rounds: int = 12) -> str:
+    """CTE chain computing the TRANSITIVE closure of the LSH candidate
+    graph by `n_rounds` unrolled min-label-propagation rounds (DuckDB's
+    recursive CTEs refuse aggregates in the recursive term, so the
+    rounds are unrolled; converged rounds are no-ops). n_rounds matches
+    the Spark side's max_rounds cap: dedup.minhash_lsh_components
+    iterates (with pointer jumping) to the TRUE fixpoint or raises, and
+    any converged schedule yields the same per-component min — so the
+    twins agree whenever the component diameter is <= n_rounds, and a
+    deeper graph fails the driver's value-hash compare loudly rather
+    than silently accepting a partial closure (sf0.01 measures diameter
+    9). Final CTE: comp(doc_id, rep_id)."""
+    # MATERIALIZED is load-bearing: DuckDB re-executes a plain CTE at
+    # every reference, and `bands` (the md5-heavy minhash pipeline) is
+    # referenced twice per round — without materialization the unroll is
+    # O(rounds) full corpus re-hashes
+    bands = _sql_lsh_bands_ctes().replace(
+        "bands AS (", "bands AS MATERIALIZED (", 1
+    )
+    ctes = [
+        bands,
+        "r0 AS MATERIALIZED (SELECT bands.doc_id AS doc_id, "
+        "min(bucket_rep) AS rep_id "
+        "FROM bands JOIN (SELECT b, bucket, min(doc_id) AS bucket_rep "
+        "FROM bands GROUP BY b, bucket) br USING (b, bucket) "
+        "GROUP BY bands.doc_id)",
+    ]
+    for i in range(1, n_rounds + 1):
+        ctes.append(
+            f"bm{i} AS MATERIALIZED (SELECT b, bucket, min(rep_id) AS m "
+            f"FROM bands JOIN r{i-1} USING (doc_id) GROUP BY b, bucket)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT bands.doc_id AS doc_id, "
+            f"min(m) AS rep_id "
+            f"FROM bands JOIN bm{i} USING (b, bucket) GROUP BY bands.doc_id)"
+        )
+    ctes.append(f"comp AS (SELECT doc_id, rep_id FROM r{n_rounds})")
+    return ",\n".join(ctes)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,9 +1445,9 @@ def _sql_corpus_curation() -> str:
     srcs = ", ".join(f"('{s}', {f})" for s, f in _MIX_TARGETS.items())
     in_list = ", ".join(f"'{s}'" for s in _MIX_TARGETS)
     return f"""
-WITH reps AS ({_sql_dedup_minhash_lsh()}),
+WITH {_sql_lsh_components_ctes()},
 su AS (SELECT doc_id, rep_id,
-              {u01_sql("CAST(rep_id AS VARCHAR)", "split")} AS u FROM reps),
+              {u01_sql("CAST(rep_id AS VARCHAR)", "split")} AS u FROM comp),
 q AS ({_sql_text_quality()}),
 mixc AS (SELECT source, count(*) AS n FROM documents
          WHERE source IN ({in_list}) GROUP BY source),

@@ -84,7 +84,17 @@ def asof_join(
     # row's legitimately-NULL value fall through to an OLDER row's value
     # for just that column — mixing columns across build rows. The struct
     # fill picks the whole winning row atomically.
-    b = build.filter(F.col(build_ts).isNotNull()).select(
+    # NULL-key build rows are dropped and NULL-key probe rows stay
+    # unmatched: Window.partitionBy would group all nulls into ONE
+    # partition and "match" them to each other, diverging from every
+    # join/ASOF convention (SQL joins, DuckDB ASOF, pandas merge_asof:
+    # NULL keys match nothing) and from the spine's own null-key-is-
+    # malformed rule (cdc.apply._bad_event_pred)
+    null_key = None
+    for k_ in on:
+        c = F.col(k_).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    b = build.filter(F.col(build_ts).isNotNull()).filter(~null_key).select(
         *[F.col(k) for k in on],
         F.col(build_ts).alias("_ts"),
         F.lit(0).alias("_side"),

@@ -8,10 +8,13 @@ and operators/text.py) and BEFORE packing (operators/tokens.py):
 * ``leakage_safe_split`` — train/val/test assignment keyed on the
   near-duplicate CLUSTER representative, not the document id, so two
   near-duplicate documents can never land in different splits (the
-  standard eval-leakage failure mode). Cluster = one MinHash/LSH hop
-  (operators/dedup.py minhash_lsh_rep — the reference's shifted-grid
-  candidate collapse, resolve-footprints.scala:128-141, re-used as the
-  grouping key instead of the dedup key).
+  standard eval-leakage failure mode). Cluster = the CONNECTED COMPONENT
+  of the MinHash/LSH candidate graph (operators/dedup.py
+  minhash_lsh_components — iterated label propagation to a fixpoint;
+  one hop is not enough: chained near-dups would straddle splits), the
+  reference's shifted-grid candidate collapse
+  (resolve-footprints.scala:128-141) closed transitively and re-used as
+  the grouping key instead of the dedup key.
 * ``quality_weighted_sample`` — keep a document with probability
   ``rate × quality`` using a salted deterministic uniform, so the sample
   is reproducible, resumable, and identical on any cluster size (no RNG
@@ -30,9 +33,10 @@ and operators/text.py) and BEFORE packing (operators/tokens.py):
 Every operator is pure column expressions over the portable hash
 (functions/portable.py h64 — identical in Spark and DuckDB), so each has
 an exact DuckDB twin and no Python executes per row. At 100 TB: the split
-adds one LSH clustering pass (banded equi-join, no all-pairs); sampling is
-a stateless filter riding the scan; domain_mix shuffles only the
-O(#sources) count frame.
+adds one LSH banding pass plus O(component diameter) label-propagation
+rounds over the edge list (2 shuffles each, no all-pairs — near-dup
+chains are shallow); sampling is a stateless filter riding the scan;
+domain_mix shuffles only the O(#sources) count frame.
 """
 
 from __future__ import annotations
@@ -42,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
 from ..functions.portable import h64, h64_sql
-from .dedup import minhash_lsh_rep
+from .dedup import minhash_lsh_components
 
 # deterministic uniform resolution: u = (h64(key) mod M) / M.
 # M = 1e6 keeps the quantization error (1e-6) far below any sampling rate
@@ -72,8 +76,12 @@ def leakage_safe_split(
     shingle: int = 5,
 ) -> DataFrame:
     """Assign every document to a split by hashing its near-dup cluster
-    representative. All members of a cluster share rep_id, hence share
-    u and the split — near-duplicates never straddle train/eval.
+    representative. Cluster = the TRANSITIVE closure of the LSH
+    candidate graph (minhash_lsh_components), not one hop: with one hop,
+    chained near-dups A~B~C could get different reps (rep(A)=rep(B)=A
+    but rep(C)=B) and straddle train/eval — exactly the leakage this
+    function exists to prevent. All members of a component share rep_id,
+    hence share u and the split.
 
     Returns (id_col, rep_id, split). Documents with no near-duplicate
     are their own representative (rep_id == id), so singletons still
@@ -81,8 +89,8 @@ def leakage_safe_split(
     """
     if len(fractions) != len(names) or abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError("fractions must match names and sum to 1")
-    reps = minhash_lsh_rep(df, id_col=id_col, text_col=text_col,
-                           k=k, bands=bands, shingle=shingle)
+    reps = minhash_lsh_components(df, id_col=id_col, text_col=text_col,
+                                  k=k, bands=bands, shingle=shingle)
     u = u01(F.col("rep_id").cast("string"), salt)
     expr, acc = None, 0.0
     for frac, name in zip(fractions[:-1], names[:-1]):
@@ -145,6 +153,18 @@ def domain_mix(
         .join(F.broadcast(tgt), domain_col)  # inner: untargeted sources drop
         .withColumn("_cap", F.col("count") / F.col("_f"))
     )
+    # a targeted source with ZERO corpus rows makes the mixture
+    # unachievable (T = min_s n_s/f_s = 0); silently computing T over
+    # the present sources only would return a corpus with the WRONG
+    # domain balance — fail loudly instead (O(#sources) driver check)
+    present = {r[domain_col] for r in counts.select(domain_col).collect()}
+    missing = sorted(set(targets) - present)
+    if missing:
+        raise ValueError(
+            f"domain_mix targets name sources absent from the corpus: "
+            f"{missing} — the requested mixture is unachievable "
+            "(drop them from targets or fix the corpus)"
+        )
     # T = min over sources of n_s / f_s — an O(#sources) frame; computed
     # with an un-partitioned window over that tiny frame, NOT the corpus
     # keep_rate is a RAW double (see quality_weighted_sample: round-to-6

@@ -119,6 +119,21 @@ def minhash_lsh_rep(
     reference's shifted-grid candidate generation
     (resolve-footprints.scala:128-141) with LSH bands as the grids.
     """
+    exploded = _lsh_band_rows(df, id_col, text_col, k, bands, shingle)
+    reps = exploded.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_rep"))
+    return (
+        exploded.join(reps, ["band", "bucket"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("rep_id"))
+    )
+
+
+def _lsh_band_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, bands: int, shingle: int
+) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, band), the LSH candidate
+    graph's bipartite edge list (shared by the one-hop rep and the
+    connected-components closure)."""
     rows = k // bands
     sig_df = minhash_signature(df, id_col, text_col, k=k, shingle=shingle)
     band_cols = []
@@ -130,15 +145,104 @@ def minhash_lsh_rep(
                 h64(F.concat_ws(",", *vals)).alias("bucket"),
             )
         )
-    exploded = sig_df.select(
+    return sig_df.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    reps = exploded.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_rep"))
-    return (
-        exploded.join(reps, ["band", "bucket"])
-        .groupBy(id_col)
-        .agg(F.min("bucket_rep").alias("rep_id"))
-    )
+
+
+def minhash_lsh_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """TRANSITIVE closure of the LSH candidate graph: rep_id = min(id)
+    over the whole connected component, computed by iterated min-label
+    propagation over (doc ↔ band-bucket) edges to a fixpoint.
+
+    One LSH hop (minhash_lsh_rep) is the right contract for candidate
+    collapse, but NOT for leakage-safe splits: docs A~B and B~C can get
+    different one-hop reps even though A and C are chained through B —
+    and then A and C land in different train/eval splits. The closure
+    makes every chained group share one rep (classic label-propagation
+    connected components, e.g. Kiveris et al. "Connected Components in
+    MapReduce and Beyond", SoCC'14).
+
+    100 TB shape: each round is one bucket-hop (two shuffles over the
+    O(docs × bands) edge list) PLUS one pointer-jump (rep := rep[rep], a
+    self-join of the narrow rep frame) — the jump composes the mapping
+    with itself, so path lengths roughly halve per round and convergence
+    is O(log diameter) rounds, not O(diameter) (the pointer-jumping /
+    star-contraction idea from MapReduce connected-components
+    literature). Convergence is detected by an order-independent
+    fingerprint aggregate (bit_xor of xxhash64(id, rep) — map-side
+    combined, no extra shuffle). Raises after `max_rounds` instead of
+    silently returning a partial closure; any converged schedule yields
+    the same fixpoint (the per-component min), which is what the DuckDB
+    twin's plain unrolled bucket-hops reproduce.
+    """
+    edges = _lsh_band_rows(df, id_col, text_col, k, bands, shingle).persist()
+
+    def _fp(r):
+        row = r.select(
+            F.bit_xor(F.xxhash64(F.col(id_col), F.col("rep_id"))).alias("f"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return (row["f"], row["n"])
+
+    try:
+        bucket_rep = edges.groupBy("band", "bucket").agg(
+            F.min(id_col).alias("_bm")
+        )
+        rep = (
+            edges.join(bucket_rep, ["band", "bucket"])
+            .groupBy(id_col)
+            .agg(F.min("_bm").alias("rep_id"))
+            .persist()
+        )
+        prev = _fp(rep)
+        for _ in range(max_rounds):
+            bmin = edges.join(rep, id_col).groupBy("band", "bucket").agg(
+                F.min("rep_id").alias("_bm")
+            )
+            hop = (
+                edges.join(bmin, ["band", "bucket"])
+                .groupBy(id_col)
+                .agg(F.min("_bm").alias("rep_id"))
+            )
+            # pointer jump: follow the rep chain one more level in the
+            # SAME round (left join: a rep that is its own rep — or a
+            # doc absent as a key — keeps its current label)
+            new = (
+                hop.join(
+                    hop.select(
+                        F.col(id_col).alias("rep_id"),
+                        F.col("rep_id").alias("_rr"),
+                    ),
+                    "rep_id",
+                    "left",
+                )
+                .select(
+                    F.col(id_col),
+                    F.coalesce("_rr", F.col("rep_id")).alias("rep_id"),
+                )
+                .persist()
+            )
+            cur = _fp(new)
+            rep.unpersist()
+            rep = new
+            if cur == prev:
+                return rep
+            prev = cur
+        raise RuntimeError(
+            f"LSH component closure did not converge in {max_rounds} rounds "
+            "— pathological chain structure; raise max_rounds explicitly"
+        )
+    finally:
+        edges.unpersist()
 
 
 def simhash(

@@ -87,15 +87,28 @@ def interval_overlap_join(
     left_cols: tuple[str, str] = ("start", "end"),
     right_cols: tuple[str, str] = ("r_start", "r_end"),
     width: int = 600,
+    max_cells: int = 4096,
 ) -> DataFrame:
     """Inner interval-overlap join: pairs whose ranges intersect
     (``l.start <= r.end AND r.start <= l.end``). Each pair emits exactly
-    once — only in the grid cell holding the overlap's left edge."""
+    once — only in the grid cell holding the overlap's left edge.
+    Like interval_join, an interval spanning more than `max_cells` grid
+    cells raises instead of silently exploding the replicate side."""
     on = [on] if isinstance(on, str) else list(on or [])
     ls, le = left_cols
     rs, re_ = right_cols
-    l = left.withColumn("_cell", F.explode(_cells(ls, le, width)))
-    r = right.withColumn("_cell", F.explode(_cells(rs, re_, width)))
+
+    def _guarded(s, e):
+        n = F.floor(F.col(e) / width) - F.floor(F.col(s) / width) + 1
+        return F.when(n <= F.lit(max_cells), _cells(s, e, width)).otherwise(
+            F.raise_error(
+                F.lit(f"interval spans more than {max_cells} grid cells "
+                      f"at width {width}; raise width or max_cells")
+            )
+        )
+
+    l = left.withColumn("_cell", F.explode(_guarded(ls, le)))
+    r = right.withColumn("_cell", F.explode(_guarded(rs, re_)))
     overlap = (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
     first_cell = F.floor(F.greatest(F.col(ls), F.col(rs)) / width).cast("long")
     return (

@@ -58,6 +58,17 @@ def stream_stream_enrich(
     """
     if fact_ts == dim_ts:
         raise ValueError("fact_ts and dim_ts must differ (both survive)")
+    # every non-key dim column also survives — a shared name would emit
+    # two output columns called the same thing (AMBIGUOUS_REFERENCE on
+    # any later select); refuse loudly like the ts collision above
+    clash = sorted(
+        (set(facts.columns) & set(dims.columns)) - {key}
+    )
+    if clash:
+        raise ValueError(
+            f"facts and dims share non-key column names {clash} — rename "
+            "the dim side upstream (both sides survive in the output)"
+        )
     f = facts.withWatermark(fact_ts, watermark).alias("f")
     d = dims.withWatermark(dim_ts, watermark).alias("d")
     cond = (

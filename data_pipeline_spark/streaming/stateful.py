@@ -30,14 +30,19 @@ from pyspark.sql.types import (
 # op precedence under equal LSNs — the SAME table the batch merge uses
 from ..cdc.apply import OP_RANK as _OP_RANK
 
-_OUT_SCHEMA = StructType(
-    [
-        StructField("doc_id", StringType()),
-        StructField("lsn", LongType()),
-        StructField("op", StringType()),
-        StructField("n_tok", IntegerType()),
-    ]
-)
+def _out_schema(key: str) -> StructType:
+    """Output schema keyed by the CALLER's key column name — hardcoding
+    'doc_id' here would silently mislabel the key for any other column."""
+    return StructType(
+        [
+            StructField(key, StringType()),
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+            StructField("n_tok", IntegerType()),
+        ]
+    )
+
+
 _STATE_SCHEMA = StructType(
     [
         StructField("lsn", LongType()),
@@ -49,7 +54,8 @@ _STATE_SCHEMA = StructType(
 
 
 def _lww_update(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState,
+    key_name: str = "doc_id",
 ) -> Iterable[pd.DataFrame]:
     if state.exists:
         cur_lsn, cur_rank, cur_op, cur_ntok = state.get
@@ -77,11 +83,17 @@ def _lww_update(
             v = pdf["n_tok"][i]
             cur_ntok = None if pd.isna(v) else int(v)
             changed = True
-    state.update((cur_lsn, cur_rank, cur_op, cur_ntok))
+    # update ONLY when something changed (or real state already exists):
+    # an unconditional update would mint permanent (-1,-1,None,None)
+    # state for keys seen only via malformed events — unbounded
+    # state-store growth driven entirely by rejected input — and rewrite
+    # identical state for every quiet key each micro-batch
+    if changed or state.exists:
+        state.update((cur_lsn, cur_rank, cur_op, cur_ntok))
     if changed:
         yield pd.DataFrame(
             {
-                "doc_id": [key[0]],
+                key_name: [key[0]],
                 "lsn": [cur_lsn],
                 "op": [cur_op],
                 "n_tok": [cur_ntok],
@@ -93,15 +105,20 @@ def stateful_lww_changes(stream: DataFrame, key: str = "doc_id") -> DataFrame:
     """Change-data-feed of per-key LWW winners over a change-event stream.
 
     Emits (key, lsn, op, n_tok) whenever a micro-batch changes a key's
-    winner; redelivered or stale events emit nothing. Requires columns
-    (doc_id, lsn, op, n_tok) on the stream.
+    winner — the output key column carries the CALLER's key name;
+    redelivered or stale events emit nothing. Requires columns
+    (key, lsn, op, n_tok) on the stream.
     """
+
+    def _fn(k, pdfs, state):
+        return _lww_update(k, pdfs, state, key_name=key)
+
     return (
         stream.select(key, "lsn", "op", "n_tok")
         .groupBy(key)
         .applyInPandasWithState(
-            _lww_update,
-            outputStructType=_OUT_SCHEMA,
+            _fn,
+            outputStructType=_out_schema(key),
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

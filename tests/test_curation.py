@@ -54,6 +54,40 @@ def test_split_has_no_near_dup_leakage(spark):
     assert len({split_of[j] for j in range(20)}) > 1
 
 
+def test_split_closes_transitive_chains(spark):
+    """The no-leakage promise must hold for CHAINS, not just pairs:
+    A~B and B~C near-dup (two different one-word edits of B's text) with
+    A and C two edits apart. One LSH hop can give rep(A)=rep(B)≠rep(C);
+    the component closure must put all three in one split."""
+    base = " ".join(_word(999, j) for j in range(30))
+    chains = []
+    for c in range(12):  # 12 independent A-B-C chains
+        b_txt = base.replace(_word(999, 0), f"chain{c}w0")
+        a_txt = b_txt.replace(_word(999, 7), "editA")
+        c_txt = b_txt.replace(_word(999, 22), "editC")
+        chains += [(c * 3, a_txt, "s"), (c * 3 + 1, b_txt, "s"),
+                   (c * 3 + 2, c_txt, "s")]
+    # plus distinct background docs so the split isn't degenerate
+    bg = [(1000 + i, " ".join(_word(i, j) for j in range(30)), "s")
+          for i in range(60)]
+    docs = spark.createDataFrame(chains + bg,
+                                 "doc_id long, text string, source string")
+    out = leakage_safe_split(docs).collect()
+    rep_of = {r["doc_id"]: r["rep_id"] for r in out}
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    closed = 0
+    for c in range(12):
+        a, b, cc = c * 3, c * 3 + 1, c * 3 + 2
+        # chains whose A~B and B~C edges the LSH caught must be FULLY
+        # closed: one rep, one split — even when A and C share no bucket
+        if rep_of[a] == rep_of[b] and rep_of[b] == rep_of[cc]:
+            closed += 1
+        assert len({split_of[a], split_of[b], split_of[cc]}) == 1 or (
+            rep_of[a] != rep_of[b] and rep_of[b] != rep_of[cc]
+        )
+    assert closed >= 9  # LSH catches nearly all one-edit neighbors
+
+
 def test_split_fractions_and_determinism(spark):
     docs = _docs(spark, n=400, n_dup_pairs=0)
     out = leakage_safe_split(docs, fractions=(0.8, 0.1, 0.1)).collect()
