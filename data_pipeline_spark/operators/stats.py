@@ -82,11 +82,17 @@ def stats_sql(
     value_col: str = "n_chars",
     distinct_col: str = "lang",
 ) -> str:
-    """DuckDB twin of corpus_stats (quantile_cont == Spark percentile)."""
+    """DuckDB twin of corpus_stats (quantile_cont == Spark percentile).
+
+    ``sum(int32)`` is HUGEINT in DuckDB (stringifies ``73327.0`` through
+    pandas float64) but BIGINT in Spark (``73327``); the driver hashes
+    stringified values, so the twin casts to BIGINT to match Spark's
+    result type exactly.
+    """
     return f"""
 SELECT {group_col},
        count(*) AS n_docs,
-       sum({value_col}) AS total,
+       CAST(sum({value_col}) AS BIGINT) AS total,
        min({value_col}) AS vmin,
        max({value_col}) AS vmax,
        round(avg({value_col}), 4) AS vmean,

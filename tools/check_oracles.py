@@ -54,6 +54,14 @@ def _eq(a, b) -> tuple[bool, str]:
                         return False, f"col {c} row {i}: {x} vs {y} (null)"
                 elif tuple(x) != tuple(y):
                     return False, f"col {c} row {i}: {str(x)[:60]} vs {str(y)[:60]}"
+                elif tuple(map(str, x)) != tuple(map(str, y)):
+                    # values equal but element types drift (e.g. int vs
+                    # float) — the driver hashes stringified cells, so
+                    # this WOULD fail remotely (VERDICT r4 #1 class)
+                    return False, (
+                        f"col {c} row {i}: stringified drift "
+                        f"{str(x)[:60]} vs {str(y)[:60]}"
+                    )
             elif isinstance(x, float) or isinstance(y, float):
                 xn = x is None or (isinstance(x, float) and math.isnan(x))
                 yn = y is None or (isinstance(y, float) and math.isnan(y))
@@ -63,9 +71,23 @@ def _eq(a, b) -> tuple[bool, str]:
                 elif x != y:
                     d = abs(x - y)
                     return False, f"col {c} row {i}: {x!r} vs {y!r} (diff {d:.2e})"
+                elif str(x) != str(y):
+                    # numerically equal but e.g. int 73327 vs float
+                    # 73327.0 — the driver hashes str(cell), so a type
+                    # drift between the Spark result and the DuckDB twin
+                    # fails remotely even when values match (the exact
+                    # corpus_stats r4 bug). Fail it here too.
+                    return False, (
+                        f"col {c} row {i}: stringified drift {x!r} vs {y!r}"
+                        " (driver hashes str(cell) — align result types)"
+                    )
             else:
                 if (x is None) != (y is None) or (x is not None and x != y):
                     return False, f"col {c} row {i}: {x!r} vs {y!r}"
+                if x is not None and str(x) != str(y):
+                    return False, (
+                        f"col {c} row {i}: stringified drift {x!r} vs {y!r}"
+                    )
     return True, "ok"
 
 
