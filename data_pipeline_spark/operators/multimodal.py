@@ -14,7 +14,9 @@ the deterministic fake header parses directly; REAL PNG images, REAL
 WAV/PCM audio, and REAL Y4M video parse via the pure-stdlib codecs
 (png_codec / wav_codec / y4m_codec — all three run in this sandbox,
 tested by tests/test_multimodal_real.py and test_multimodal_av.py);
-PIL takes over for non-grayscale image formats when installed; and
+REAL JPEG bytes yield frame metadata via the pure-stdlib SOFn walk
+(jpeg_codec — header-only, no pixel decode); PIL takes over for
+non-grayscale image formats and JPEG pixels when installed; and
 compressed audio/video (mp3/mp4 — needs librosa/ffmpeg) stays behind
 the disclosed NotImplementedError boundary.
 
@@ -76,21 +78,28 @@ def _pil():
 def _decode_stub(buf: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames). Codec tiers, most to least capable at
     each format: (1) the deterministic fake header parses directly;
-    (2) REAL PNG / WAV / Y4M bytes parse via the pure-stdlib codecs
-    (struct/zlib/ASCII — real-media metadata works in a PIL-less
-    sandbox; audio maps to width=sample_rate, height=n_channels,
-    n_frames=sample frames); (3) every other real image format goes
-    through PIL when installed; else the disclosed NotImplementedError
-    boundary (compressed audio/video needs librosa/ffmpeg)."""
+    (2) REAL PNG / JPEG / WAV / Y4M bytes parse via the pure-stdlib
+    codecs (struct/zlib/ASCII — real-media metadata works in a PIL-less
+    sandbox; JPEG is header-only: SOFn frame dimensions, pixel decode
+    stays behind the boundary; audio maps to width=sample_rate,
+    height=n_channels, n_frames=sample frames); (3) every other real
+    image format goes through PIL when installed; else the disclosed
+    NotImplementedError boundary (compressed audio/video needs
+    librosa/ffmpeg)."""
     buf = bytes(buf)
     if buf[:4] == _MAGIC:
         w = int.from_bytes(buf[5:9], "big")
         h = int.from_bytes(buf[9:13], "big")
         return w, h, 1
-    from . import png_codec, wav_codec, y4m_codec
+    from . import jpeg_codec, png_codec, wav_codec, y4m_codec
 
     if png_codec.is_png(buf):
         w, h, _, _ = png_codec.parse_ihdr(buf)
+        return w, h, 1
+    if jpeg_codec.is_jpeg(buf):
+        # SOFn walk: metadata for real JPEG bytes (baseline AND
+        # progressive) without pixel decode — see jpeg_codec scope
+        w, h, _comps, _depth = jpeg_codec.parse_sof(buf)
         return w, h, 1
     if wav_codec.is_wav(buf):
         ch, rate, _bits, n = wav_codec.parse_header(buf)
