@@ -960,10 +960,13 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact p50/p95 length distribution, distinct languages — the
     dataset-card numbers (the reference's summarize-step per-state
     counters, summarize/app.js:60-78, as one declarative aggregate).
-    This is the EXACT anchor; the sketch twin (percentile_approx +
-    HLL++, mergeable map-side partials — the 100 TB path) is pinned to
-    it in test_stats within the sketches' error bounds."""
-    return ST.corpus_stats(_t(spark, sf_dir, "documents"))
+    Two families (r5): part='exact' is the DuckDB-checkable anchor;
+    part='sketch' runs the 100 TB path (percentile_approx + HLL++,
+    mergeable map-side partials) and emits the exact value only when
+    the sketch lands within its error bound, the raw sketch value
+    otherwise — so the oracle row goes red if the sketches ever drift
+    out of bounds, covering both paths with one driver slot."""
+    return ST.corpus_stats_checked(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -2443,7 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "window_lww": _SQL_WINDOW_LWW,
         "topk_orders": _SQL_TOPK_ORDERS,
         "scalar_group_funcs": _SQL_SCALAR_GROUP_FUNCS,
-        "corpus_stats": ST.stats_sql(),
+        "corpus_stats": ST.stats_checked_sql(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _SQL_DEDUP_SIMHASH,

@@ -76,6 +76,76 @@ def corpus_stats_approx(
     )
 
 
+def corpus_stats_checked(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    distinct_col: str = "lang",
+) -> DataFrame:
+    """Driver-row composition covering BOTH stats paths (VERDICT r4 #7).
+
+    Two families in one result: part='exact' is corpus_stats verbatim;
+    part='sketch' runs corpus_stats_approx and emits, per sketched
+    column, the EXACT value when the sketch lands within its error
+    bound and the RAW SKETCH value when it does not. The DuckDB oracle
+    produces the exact values for both families — so a sketch that
+    violates its bound surfaces as a driver value mismatch instead of
+    passing silently, without asking DuckDB to reproduce a
+    Spark-internal sketch bit-for-bit.
+
+    Bounds (same contract test_stats pins): p50/p95 within
+    max(5% of the group's value span, 1.0) — generous for
+    accuracy=10⁴ at oracle scale; n_distinct within max(1, 5%) for
+    HLL++ at rsd=0.02. count/sum/min/max/mean are exact in both paths
+    and are emitted from the sketch run directly (any drift there is a
+    real bug and should mismatch).
+    """
+    exact = corpus_stats(df, group_col, value_col, distinct_col)
+    approx = corpus_stats_approx(df, group_col, value_col, distinct_col)
+    a, e = approx.alias("a"), exact.alias("e")
+    span = F.col("e.vmax") - F.col("e.vmin")
+
+    def _gated(col: str, bound):
+        ok = F.abs(F.col(f"a.{col}") - F.col(f"e.{col}")) <= bound
+        return F.when(ok, F.col(f"e.{col}")).otherwise(F.col(f"a.{col}")).alias(col)
+
+    pct_bound = F.greatest(span.cast("double") * F.lit(0.05), F.lit(1.0))
+    nd_bound = F.greatest(F.lit(1.0), F.col("e.n_distinct").cast("double") * F.lit(0.05))
+    sketch = a.join(e, F.col(f"a.{group_col}") == F.col(f"e.{group_col}")).select(
+        F.lit("sketch").alias("part"),
+        F.col(f"a.{group_col}").alias(group_col),
+        F.col("a.n_docs").alias("n_docs"),
+        F.col("a.total").alias("total"),
+        F.col("a.vmin").alias("vmin"),
+        F.col("a.vmax").alias("vmax"),
+        F.col("a.vmean").alias("vmean"),
+        _gated("p50", pct_bound),
+        _gated("p95", pct_bound),
+        F.when(
+            F.abs(F.col("a.n_distinct") - F.col("e.n_distinct")) <= nd_bound,
+            F.col("e.n_distinct"),
+        ).otherwise(F.col("a.n_distinct")).alias("n_distinct"),
+    )
+    return exact.select(F.lit("exact").alias("part"), "*").unionByName(sketch)
+
+
+def stats_checked_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    distinct_col: str = "lang",
+) -> str:
+    """DuckDB twin of corpus_stats_checked: the exact profile under both
+    part labels (an in-bounds sketch run collapses to exact values)."""
+    base = stats_sql(table, group_col, value_col, distinct_col)
+    return (
+        f"WITH s AS ({base})\n"
+        "SELECT 'exact' AS part, * FROM s\n"
+        "UNION ALL\n"
+        "SELECT 'sketch' AS part, * FROM s"
+    )
+
+
 def stats_sql(
     table: str = "documents",
     group_col: str = "source",

@@ -11,6 +11,8 @@ from data_pipeline_spark.operators.curation import epoch_order, write_epoch
 from data_pipeline_spark.operators.stats import (
     corpus_stats,
     corpus_stats_approx,
+    corpus_stats_checked,
+    stats_checked_sql,
     stats_sql,
 )
 
@@ -48,6 +50,29 @@ def test_approx_stats_within_sketch_bounds(spark):
         assert abs(a["p95"] - e["p95"]) <= max(span * 0.05, 1.0), s
         # HLL++ at rsd=0.02 on tiny cardinalities is exact-ish; allow 5%
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(1, 0.05 * e["n_distinct"]), s
+
+
+def test_checked_stats_sketch_family_collapses_to_exact(spark):
+    """The driver-row composition: with sketches in bounds (they are at
+    this scale — test_approx_stats_within_sketch_bounds), the
+    part='sketch' family must emit EXACTLY the exact family's values —
+    that is the collapse the DuckDB twin (stats_checked_sql) relies on.
+    A sketch drifting out of bounds would surface here (and as a driver
+    value mismatch) as a sketch-vs-exact difference."""
+    out = corpus_stats_checked(_docs(spark)).toPandas()
+    assert set(out["part"]) == {"exact", "sketch"}
+    ex = out[out["part"] == "exact"].drop(columns="part")
+    sk = out[out["part"] == "sketch"].drop(columns="part")
+    ex = ex.sort_values("source").reset_index(drop=True)
+    sk = sk.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ex, sk, check_dtype=False)
+    # and the twin agrees row-for-row, stringified (driver-hash style)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(stats_checked_sql()).df()
+    got_k = sorted(out.apply(lambda r: tuple(str(x) for x in r[sorted(out.columns)]), axis=1))
+    want_k = sorted(want.apply(lambda r: tuple(str(x) for x in r[sorted(want.columns)]), axis=1))
+    assert got_k == want_k
 
 
 def test_approx_stats_plan_is_partial_aggregated(spark):
