@@ -97,14 +97,52 @@ def _warm_write_paths(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+# Replay-style queries measure commit-protocol latency × #commits, not
+# a scan/shuffle plan — on this VM (±30% drift) a single shot whipsaws
+# for machine reasons (the r4 CoW lesson: single-shot 20-41s vs
+# interleaved A/B ~14s). These are measured as the MEAN of 2 COLD reps
+# (entry-module replay caches cleared before each, so every rep pays
+# the full build-and-replay protocol), with the raw reps riding in the
+# JSON as "<name>_reps". r4 and earlier recorded one shot with
+# whatever cache state the dict order produced — r5 numbers for these
+# six are cold-protocol means, not comparable to r4 single-shots.
+REPLAY_REP_QUERIES = {
+    "cdc_partial_replay",
+    "cdc_agg_merge",
+    "cdc_incremental_agg",
+    "dedup_incremental",
+    "cdc_delete_where",
+    "cdc_changes",
+}
+N_REPLAY_REPS = 2
+
+
+def _clear_replay_caches() -> None:
+    entrymod._REPLAY_CACHE.clear()
+    entrymod._INC_ROOT_CACHE.clear()
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
     _warmup(spark, sf_dir)
     times: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
-    return times
+        if name in REPLAY_REP_QUERIES:
+            rs = []
+            for _ in range(N_REPLAY_REPS):
+                _clear_replay_caches()
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                rs.append(round(time.perf_counter() - t0, 3))
+            # the final rep leaves the caches populated, so queries
+            # later in the dict see the same warm bases as before
+            times[name] = round(sum(rs) / len(rs), 3)
+            reps[name] = rs
+        else:
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 3)
+    return times, reps
 
 
 def bench_cdc_throughput(
@@ -210,11 +248,10 @@ def main() -> None:
         sf = -1.0
 
     cdc = bench_cdc_throughput(spark, n_events, n_batches)
-    queries = (
-        {}
-        if os.environ.get("BENCH_SKIP_QUERIES") == "1"
-        else bench_queries(spark, sf_dir)
-    )
+    if os.environ.get("BENCH_SKIP_QUERIES") == "1":
+        queries, query_reps = {}, {}
+    else:
+        queries, query_reps = bench_queries(spark, sf_dir)
     total = round(cdc["cdc_apply_sec"] + sum(queries.values()), 3)
     out = {
         "metric": "headline_total_sec",
@@ -225,6 +262,7 @@ def main() -> None:
             "cdc_apply_cow": cdc["cdc_apply_cow_sec"],
             **queries,
         },
+        "query_reps": {f"{k}_reps": v for k, v in query_reps.items()},
         "sf": sf,
         "cpus": cpus,
         **cdc,
