@@ -128,14 +128,20 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[
     reps: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
         if name in REPLAY_REP_QUERIES:
+            # snapshot the caches: the reps must be cold for THIS query,
+            # but clearing shared base keys (e.g. the replayed-table
+            # root many cdc_* queries reuse) must not force queries
+            # later in the dict into untimed-in-r4 rebuilds
+            saved_replay = dict(entrymod._REPLAY_CACHE)
+            saved_inc = dict(entrymod._INC_ROOT_CACHE)
             rs = []
             for _ in range(N_REPLAY_REPS):
                 _clear_replay_caches()
                 t0 = time.perf_counter()
                 _force(fn(spark, sf_dir))
                 rs.append(round(time.perf_counter() - t0, 3))
-            # the final rep leaves the caches populated, so queries
-            # later in the dict see the same warm bases as before
+            entrymod._REPLAY_CACHE.update(saved_replay)
+            entrymod._INC_ROOT_CACHE.update(saved_inc)
             times[name] = round(sum(rs) / len(rs), 3)
             reps[name] = rs
         else:
