@@ -123,6 +123,20 @@ AUDITED = {
         ("join keyed on the (user, grid-cell) composite", r"_cell"),
     ],
     "dedup_exact": [("partial agg (map-side combine)", r"partial_")],
+    "corpus_stats": [
+        # the r5 checked composition carries BOTH paths: the sketch
+        # family must stay mergeable (constant-size sketches cross the
+        # exchange — the 100 TB contract), and nothing drops to Python
+        (
+            "sketch percentiles partially aggregated map-side",
+            r"partial_percentile_approx",
+        ),
+        (
+            "HLL++ distinct partially aggregated map-side",
+            r"partial_approx_count_distinct",
+        ),
+        ("pure codegen — no Python eval", r"!(?:BatchEvalPython|ArrowEvalPython)"),
+    ],
     "scalar_group_funcs": [
         (
             "scalar surface + Morton z-key are pure codegen (no Python "
