@@ -216,9 +216,13 @@ def test_decode_stub_rejects_real_formats():
     # rejects a corrupt body loudly rather than guessing
     with pytest.raises(ValueError, match="corrupt PNG"):
         M._decode_stub(b"\x89PNG\r\n\x1a\n....")
-    # non-PNG real formats still hit the disclosed codec boundary
-    with pytest.raises(NotImplementedError):
+    # JPEG now routes to the stdlib SOFn walk (r5): a corrupt body is a
+    # loud ValueError, not a silent guess
+    with pytest.raises(ValueError):
         M._decode_stub(b"\xff\xd8\xff\xe0....JFIF....")
+    # formats with no stdlib codec still hit the disclosed boundary
+    with pytest.raises(NotImplementedError):
+        M._decode_stub(b"GIF87a" + bytes(16))
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):
