@@ -63,8 +63,15 @@ while not all(os.path.exists(os.path.join(sync, f"loaded_{i}")) for i in (0, 1))
     assert time.time() < deadline, "peer never loaded"
     time.sleep(0.05)
 
-rows = [(1000 * (idx + 1) + i, "upsert", f"w{idx}_doc_{i:03d}",
-         [idx, i], 2, f"writer{idx}") for i in range(40)]
+# key set: default disjoint synthetic prefixes; a keys_{idx}.json in the
+# sync dir overrides (the CoW test pins keys to disjoint BUCKETS there)
+keys_file = os.path.join(sync, f"keys_{idx}.json")
+if os.path.exists(keys_file):
+    docs = json.load(open(keys_file))
+else:
+    docs = [f"w{idx}_doc_{i:03d}" for i in range(40)]
+rows = [(1000 * (idx + 1) + i, "upsert", d, [idx, i], 2, f"writer{idx}")
+        for i, d in enumerate(docs)]
 batch = spark.createDataFrame(
     rows,
     "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
@@ -76,7 +83,8 @@ if idx == 1:
         assert time.time() < deadline, "writer 0 never committed"
         time.sleep(0.05)
 
-t2 = apply_batch(table, batch, f"w{idx}", merge_strategy="delta",
+strategy = os.environ.get("OCC_MP_STRATEGY", "delta")
+t2 = apply_batch(table, batch, f"w{idx}", merge_strategy=strategy,
                  retry_on_conflict=5)
 open(os.path.join(sync, f"done_{idx}"), "w").write("")
 json.dump(
@@ -138,6 +146,81 @@ def test_two_process_apply_batch_occ_rebase(spark, tdir):
     for i in (0, 1):
         for j in range(40):
             assert state[f"w{i}_doc_{j:03d}"] == ([i, j], 2, f"writer{i}")
+
+
+def test_two_process_cow_rebase_disjoint_buckets(spark, tdir):
+    """Cross-process OCC for the COPY-ON-WRITE path: a CoW rewrite may
+    only rebase across a winner that provably touched DISJOINT buckets
+    (the rewrite's contents were computed from the loser's snapshot).
+    Pin each writer's keys to its own bucket pair, force the join (CoW)
+    merge, stage the loser behind the winner — the rebase must re-publish
+    the loser's already-written files on top without moving data.
+    In-process twin: test_occ_retry::test_rewrite_retry_disjoint_buckets."""
+    from data_pipeline_spark.icebox.table import bucket_expr
+
+    root = os.path.join(tdir, "t")
+    sync = os.path.join(tdir, "sync")
+    os.makedirs(sync)
+    t0 = IceboxTable.create(spark, root, BASE_SCHEMA, n_buckets=4)
+    base_snap = t0.snapshot_id
+
+    cand = spark.createDataFrame(
+        [(f"doc_{i:04d}",) for i in range(200)], "doc_id string"
+    ).select("doc_id", bucket_expr(4).alias("_b"))
+    by_bucket: dict[int, list[str]] = {}
+    for r in cand.collect():
+        by_bucket.setdefault(int(r["_b"]), []).append(r["doc_id"])
+    assert set(by_bucket) == {0, 1, 2, 3}
+    json.dump(
+        (by_bucket[0] + by_bucket[1])[:20],
+        open(os.path.join(sync, "keys_0.json"), "w"),
+    )
+    json.dump(
+        (by_bucket[2] + by_bucket[3])[:20],
+        open(os.path.join(sync, "keys_1.json"), "w"),
+    )
+
+    env = dict(os.environ, OCC_MP_STRATEGY="join")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER % {"repo": REPO}, root, str(i), sync],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=300))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+
+    res = {
+        i: json.load(open(os.path.join(sync, f"result_{i}.json")))
+        for i in (0, 1)
+    }
+    assert res[0]["loaded"] == res[1]["loaded"] == base_snap
+    assert res[0]["landed"] == base_snap + 1
+    assert res[1]["landed"] == base_snap + 2  # only reachable via rebase
+
+    final = IceboxTable.load(spark, root)
+    assert final.snapshot_id == base_snap + 2
+    assert final.has_tag("batch:w0") and final.has_tag("batch:w1")
+    # CoW path: both commits are rewrites — no delta entries survive
+    assert not final.manifest.get("deltas")
+    state = {r["doc_id"]: r["source"] for r in final.read().collect()}
+    assert len(state) == 40
+    for d in json.load(open(os.path.join(sync, "keys_0.json"))):
+        assert state[d] == "writer0"
+    for d in json.load(open(os.path.join(sync, "keys_1.json"))):
+        assert state[d] == "writer1"
 
 
 def test_two_process_occ_replay_is_idempotent(spark, tdir):
