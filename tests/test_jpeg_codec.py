@@ -102,6 +102,15 @@ def test_parse_sof_rejects_bad_streams():
         jpeg_codec.parse_sof(jpeg_codec.SOI + b"\xff\xe0\xff\xff")
 
 
+def test_parse_sof_rejects_deferred_dnl_height():
+    # height 0 in SOF defers the real height to a DNL marker after the
+    # scan (T.81 B.2.2) — out of scope, must fail loudly, never report
+    # a 0-pixel frame
+    buf = jpeg_codec.SOI + _dqt() + _sof(0xC0, 640, 0, 3) + _sos(3)
+    with pytest.raises(ValueError, match="DNL"):
+        jpeg_codec.parse_sof(buf)
+
+
 def test_decode_metadata_on_real_jpeg_bytes(spark):
     """The driver-facing stage handles real JPEG payloads end-to-end:
     binary column in, (width, height, n_frames, n_bytes) out through
