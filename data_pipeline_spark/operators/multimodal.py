@@ -14,11 +14,12 @@ the deterministic fake header parses directly; REAL PNG images, REAL
 WAV/PCM audio, and REAL Y4M video parse via the pure-stdlib codecs
 (png_codec / wav_codec / y4m_codec — all three run in this sandbox,
 tested by tests/test_multimodal_real.py and test_multimodal_av.py);
-REAL JPEG bytes yield frame metadata via the pure-stdlib SOFn walk
-(jpeg_codec — header-only, no pixel decode); PIL takes over for
-non-grayscale image formats and JPEG pixels when installed; and
-compressed audio/video (mp3/mp4 — needs librosa/ffmpeg) stays behind
-the disclosed NotImplementedError boundary.
+REAL baseline JPEG bytes decode, resize, and re-encode via the
+pure-stdlib Huffman+IDCT codec (jpeg_codec.decode_pixels /
+encode_baseline; progressive JPEG is header-metadata-only); PIL takes
+over for other image formats when installed; and compressed
+audio/video (mp3/mp4 — needs librosa/ffmpeg) stays behind the
+disclosed NotImplementedError boundary.
 
 Metadata contract across modalities (one fixed, prunable schema):
 image/video → (width, height, n_frames); audio → width=sample_rate,
@@ -80,8 +81,9 @@ def _decode_stub(buf: bytes) -> tuple[int, int, int]:
     each format: (1) the deterministic fake header parses directly;
     (2) REAL PNG / JPEG / WAV / Y4M bytes parse via the pure-stdlib
     codecs (struct/zlib/ASCII — real-media metadata works in a PIL-less
-    sandbox; JPEG is header-only: SOFn frame dimensions, pixel decode
-    stays behind the boundary; audio maps to width=sample_rate,
+    sandbox; JPEG metadata is the SOFn walk, covering baseline AND
+    progressive, and baseline pixels decode for real via
+    jpeg_codec.decode_pixels; audio maps to width=sample_rate,
     height=n_channels, n_frames=sample frames); (3) every other real
     image format goes through PIL when installed; else the disclosed
     NotImplementedError boundary (compressed audio/video needs
@@ -150,8 +152,10 @@ def resize_media(
 ) -> DataFrame:
     """Resize stage: binary → binary with new dimensions. Real images
     AND real video resize for real: Y4M via the stdlib plane codec
-    (every frame, nearest-neighbor), PNG via PIL when installed else
-    the stdlib grayscale codec; the fake codec rewrites its header.
+    (every frame, nearest-neighbor), baseline JPEG via the stdlib
+    Huffman+IDCT codec (decode → nearest resize → re-encode), PNG via
+    PIL when installed else the stdlib grayscale codec; the fake codec
+    rewrites its header.
     Audio rejects loudly (resolution is meaningless — use
     resample_audio). The Arrow round-trip of binary payloads in and out
     of Python is identical across tiers."""
@@ -165,7 +169,7 @@ def resize_media(
             def _rs(buf: bytes) -> bytes:
                 buf = bytes(buf)
                 if buf[:4] != _MAGIC:
-                    from . import png_codec, wav_codec, y4m_codec
+                    from . import jpeg_codec, png_codec, wav_codec, y4m_codec
 
                     if y4m_codec.is_y4m(buf):  # real video → real resize
                         return y4m_codec.resize(buf, width, height)
@@ -173,6 +177,8 @@ def resize_media(
                         raise ValueError(
                             "resize_media on audio — use resample_audio"
                         )
+                    if jpeg_codec.is_jpeg(buf):  # real baseline JPEG
+                        return jpeg_codec.resize_nearest(buf, width, height)
                     image_mod = _pil()
                     if image_mod is not None:  # real image → real resize
                         import io

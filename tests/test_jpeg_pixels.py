@@ -1,0 +1,135 @@
+"""Baseline JPEG pixel codec (operators/jpeg_codec decode_pixels /
+encode_baseline) and its wiring into the Arrow-batched resize stage.
+
+The encoder is the test-vector generator: spec-shaped JFIF streams with
+the public Annex K quant + Huffman tables, optional 4:2:0 subsampling
+and restart intervals. Round-trips are verified by PSNR against the
+source pixels (lossy codec — exactness is the wrong bar) plus exact
+invariants where the spec demands them (restart markers must not change
+decoded output; dimensions survive non-multiple-of-8 sizes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_pipeline_spark.operators import jpeg_codec as jc
+from data_pipeline_spark.operators.multimodal import decode_metadata, resize_media
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(
+        128 + 80 * np.sin(xx / 9.0) + 60 * np.cos(yy / 7.0), 0, 255
+    ).astype(np.uint8)
+
+
+def _rgb(h: int, w: int) -> np.ndarray:
+    base = _smooth(h, w)
+    grad = ((np.mgrid[0:h, 0:w][1] * 2) % 256).astype(np.uint8)
+    return np.stack([base, grad, 255 - base], axis=-1)
+
+
+def test_roundtrip_grayscale_quality_ladder():
+    img = _smooth(48, 64)
+    prev = 0.0
+    for q in (75, 90, 95):
+        dec = jc.decode_pixels(jc.encode_baseline(img, quality=q))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        p = _psnr(img, dec)
+        assert p > 40.0
+        assert p >= prev  # higher quality must not decode worse
+        prev = p
+
+
+def test_roundtrip_rgb_444_and_420():
+    img = _rgb(48, 64)
+    d444 = jc.decode_pixels(jc.encode_baseline(img, quality=90, subsample=False))
+    d420 = jc.decode_pixels(jc.encode_baseline(img, quality=90, subsample=True))
+    assert d444.shape == d420.shape == img.shape
+    assert _psnr(img, d444) > 35.0
+    assert _psnr(img, d420) > 28.0  # chroma subsampling is lossier
+    # luma survives subsampling nearly as well as 4:4:4
+    as_y = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert _psnr(as_y(img), as_y(d420)) > 33.0
+
+
+def test_odd_dimensions_and_metadata_agree():
+    # 37x29 exercises edge-replication padding in every sampling mode
+    img = _rgb(37, 29)
+    for sub in (False, True):
+        buf = jc.encode_baseline(img, quality=90, subsample=sub)
+        assert jc.parse_sof(buf) == (29, 37, 3, 8)
+        assert jc.decode_pixels(buf).shape == (37, 29, 3)
+
+
+def test_restart_markers_do_not_change_pixels():
+    """DRI/RSTn carve the entropy stream but encode identical quantized
+    coefficients — decoded output must be bit-identical."""
+    img = _rgb(37, 29)
+    plain = jc.encode_baseline(img, quality=90, subsample=True)
+    rst = jc.encode_baseline(img, quality=90, subsample=True, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain  # DRI present
+    assert b"\xff\xd0" in rst  # at least one RST0
+    assert np.array_equal(jc.decode_pixels(plain), jc.decode_pixels(rst))
+
+
+def test_decoder_rejects_progressive_and_corrupt_streams():
+    from tests.test_jpeg_codec import make_jpeg
+
+    with pytest.raises(NotImplementedError, match="progressive|baseline"):
+        jc.decode_pixels(make_jpeg(64, 32, 3, sof_code=0xC2))
+    # truncating the entropy stream must fail loudly, never return a
+    # silently half-decoded frame
+    buf = jc.encode_baseline(_smooth(64, 64), quality=90)
+    with pytest.raises(ValueError):
+        jc.decode_pixels(buf[: len(buf) // 2])
+    with pytest.raises(ValueError, match="SOI"):
+        jc.decode_pixels(b"\x89PNG\r\n\x1a\n")
+
+
+def test_resize_nearest_roundtrip():
+    img = _rgb(40, 56)
+    out = jc.resize_nearest(jc.encode_baseline(img, quality=95), 28, 20)
+    assert jc.parse_sof(out)[:2] == (28, 20)
+    dec = jc.decode_pixels(out)
+    assert dec.shape == (20, 28, 3)
+    # nearest-resize of a smooth image stays close to the ideal
+    # nearest-downsample of the source
+    rows = np.minimum((np.arange(20) * 40) // 20, 39)
+    cols = np.minimum((np.arange(28) * 56) // 28, 55)
+    assert _psnr(img[rows][:, cols], dec) > 28.0
+
+
+def test_resize_media_stage_on_real_jpeg(spark):
+    """The driver-facing resize stage now handles compressed images for
+    real: JPEG in, resized JPEG out, through the same Arrow-batched
+    mapInPandas plumbing as PNG/Y4M."""
+    flat = np.full((32, 32, 3), 200, dtype=np.uint8)
+    payloads = [
+        (1, jc.encode_baseline(_rgb(32, 48), quality=90)),
+        (2, jc.encode_baseline(flat, quality=90)),
+    ]
+    df = spark.createDataFrame(payloads, "id long, media binary")
+    out = {r["id"]: r for r in resize_media(df, 16, 8).collect()}
+    for i in (1, 2):
+        assert (out[i]["width"], out[i]["height"]) == (16, 8)
+        assert jc.parse_sof(bytes(out[i]["media"]))[:2] == (16, 8)
+    # a flat image stays flat through decode → resize → re-encode
+    dec = jc.decode_pixels(bytes(out[2]["media"]))
+    assert np.abs(dec.astype(float) - 200.0).max() < 8.0
+
+
+def test_decode_metadata_stage_on_encoded_jpeg(spark):
+    df = spark.createDataFrame(
+        [(7, jc.encode_baseline(_smooth(24, 40), quality=85))],
+        "id long, media binary",
+    )
+    row = decode_metadata(df).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (40, 24, 1)
