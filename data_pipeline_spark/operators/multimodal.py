@@ -16,7 +16,9 @@ WAV/PCM audio, and REAL Y4M video parse via the pure-stdlib codecs
 tested by tests/test_multimodal_real.py and test_multimodal_av.py);
 REAL baseline JPEG bytes decode, resize, and re-encode via the
 pure-stdlib Huffman+IDCT codec (jpeg_codec.decode_pixels /
-encode_baseline; progressive JPEG is header-metadata-only); PIL takes
+encode_baseline; progressive JPEG is header-metadata-only); REAL GIFs
+— including animated, interlaced, transparent ones — decode, resize,
+and frame-sample via the pure-stdlib LZW codec (gif_codec); PIL takes
 over for other image formats when installed; and compressed
 audio/video (mp3/mp4 — needs librosa/ffmpeg) stays behind the
 disclosed NotImplementedError boundary.
@@ -93,11 +95,14 @@ def _decode_stub(buf: bytes) -> tuple[int, int, int]:
         w = int.from_bytes(buf[5:9], "big")
         h = int.from_bytes(buf[9:13], "big")
         return w, h, 1
-    from . import jpeg_codec, png_codec, wav_codec, y4m_codec
+    from . import gif_codec, jpeg_codec, png_codec, wav_codec, y4m_codec
 
     if png_codec.is_png(buf):
         w, h, _, _ = png_codec.parse_ihdr(buf)
         return w, h, 1
+    if gif_codec.is_gif(buf):
+        # sub-block walk: real frame count for animated GIFs, no LZW work
+        return gif_codec.parse_header(buf)
     if jpeg_codec.is_jpeg(buf):
         # SOFn walk: metadata for real JPEG bytes (baseline AND
         # progressive) without pixel decode — see jpeg_codec scope
@@ -169,7 +174,7 @@ def resize_media(
             def _rs(buf: bytes) -> bytes:
                 buf = bytes(buf)
                 if buf[:4] != _MAGIC:
-                    from . import jpeg_codec, png_codec, wav_codec, y4m_codec
+                    from . import gif_codec, jpeg_codec, png_codec, wav_codec, y4m_codec
 
                     if y4m_codec.is_y4m(buf):  # real video → real resize
                         return y4m_codec.resize(buf, width, height)
@@ -179,6 +184,8 @@ def resize_media(
                         )
                     if jpeg_codec.is_jpeg(buf):  # real baseline JPEG
                         return jpeg_codec.resize_nearest(buf, width, height)
+                    if gif_codec.is_gif(buf):  # every frame, delays kept
+                        return gif_codec.resize(buf, width, height)
                     image_mod = _pil()
                     if image_mod is not None:  # real image → real resize
                         import io
@@ -241,14 +248,18 @@ def extract_features(
 
 def _frame_payload(buf: bytes, i: int) -> bytes:
     """Per-frame bytes for frame_sample: Y4M → that frame's raw YUV
-    planes; WAV → that sample frame's PCM block (decimation); single-
-    frame formats (fake header, PNG) → the whole payload."""
-    from . import wav_codec, y4m_codec
+    planes; WAV → that sample frame's PCM block (decimation); animated
+    GIF → that frame composited and re-encoded as a standalone
+    single-frame GIF; single-frame formats (fake header, PNG, JPEG) →
+    the whole payload."""
+    from . import gif_codec, wav_codec, y4m_codec
 
     if y4m_codec.is_y4m(buf):
         return y4m_codec.get_frame(buf, i)
     if wav_codec.is_wav(buf):
         return wav_codec.frame_bytes(buf, i)
+    if gif_codec.is_gif(buf):
+        return gif_codec.get_frame(buf, i)
     return buf
 
 

@@ -220,9 +220,12 @@ def test_decode_stub_rejects_real_formats():
     # loud ValueError, not a silent guess
     with pytest.raises(ValueError):
         M._decode_stub(b"\xff\xd8\xff\xe0....JFIF....")
+    # GIF routes to the stdlib block walk (r5): same loud-rejection rule
+    with pytest.raises(ValueError, match="corrupt GIF"):
+        M._decode_stub(b"GIF87a" + bytes(16))
     # formats with no stdlib codec still hit the disclosed boundary
     with pytest.raises(NotImplementedError):
-        M._decode_stub(b"GIF87a" + bytes(16))
+        M._decode_stub(b"BM" + bytes(20))
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):
