@@ -158,9 +158,10 @@ def resize_media(
     """Resize stage: binary → binary with new dimensions. Real images
     AND real video resize for real: Y4M via the stdlib plane codec
     (every frame, nearest-neighbor), baseline JPEG via the stdlib
-    Huffman+IDCT codec (decode → nearest resize → re-encode), PNG via
-    PIL when installed else the stdlib grayscale codec; the fake codec
-    rewrites its header.
+    Huffman+IDCT codec (decode → nearest resize → re-encode), animated
+    GIF via the stdlib LZW codec, PNG of any 8-bit color type via the
+    stdlib filter codec (PIL covers 16-bit/interlaced when installed);
+    the fake codec rewrites its header.
     Audio rejects loudly (resolution is meaningless — use
     resample_audio). The Arrow round-trip of binary payloads in and out
     of Python is identical across tiers."""
@@ -186,6 +187,11 @@ def resize_media(
                         return jpeg_codec.resize_nearest(buf, width, height)
                     if gif_codec.is_gif(buf):  # every frame, delays kept
                         return gif_codec.resize(buf, width, height)
+                    if png_codec.is_png(buf) and _pil() is None:
+                        # PIL-less real PNG path, any 8-bit color type;
+                        # 16-bit/interlaced raise loudly here rather
+                        # than falling through to the header rewrite
+                        return png_codec.resize_nearest(buf, width, height)
                     image_mod = _pil()
                     if image_mod is not None:  # real image → real resize
                         import io
@@ -194,8 +200,6 @@ def resize_media(
                             out = io.BytesIO()
                             im.resize((width, height)).save(out, format="PNG")
                             return out.getvalue()
-                    if png_codec.is_png(buf):  # PIL-less real PNG path
-                        return png_codec.resize_gray(buf, width, height)
                 _decode_stub(buf)  # validates the format
                 return buf[:5] + wb + hb + buf[13:]
 
