@@ -7,16 +7,20 @@ Two scopes, both real in a PIL-less sandbox:
    from any SOFn marker — baseline (SOF0), extended sequential (SOF1),
    progressive (SOF2), lossless/arithmetic variants alike. Powers
    `decode_metadata` (operators/multimodal.py) on real JPEG bytes.
-2. `decode_pixels` / `encode_baseline` — a full baseline-sequential
-   (SOF0/SOF1) Huffman codec: DQT/DHT/DRI/SOS parsing, entropy decode
-   with restart markers, dequantize, vectorized numpy IDCT, chroma
-   upsampling, YCbCr→RGB. The encoder uses the public Annex K quant
-   and Huffman tables (quality-scaled per the classic libjpeg formula)
-   with optional 4:2:0 subsampling and restart intervals, so the
-   decoder is testable against spec-shaped streams without PIL.
+2. `decode_pixels` / `encode_baseline` / `encode_progressive` — a full
+   Huffman JPEG codec covering baseline sequential (SOF0/SOF1) AND
+   progressive (SOF2) streams: DQT/DHT/DRI/SOS parsing, entropy decode
+   with restart markers, spectral selection, successive approximation
+   (DC/AC first + refinement passes, cross-block EOBn runs),
+   dequantize, vectorized numpy IDCT, chroma upsampling, YCbCr→RGB.
+   The encoders use the public Annex K quant and Huffman tables
+   (quality-scaled per the classic libjpeg formula) with optional
+   4:2:0 subsampling and restart intervals; both quantize identically,
+   so sequential and progressive encodings of the same image decode to
+   bit-identical pixels — the round-trip tests pin exactly that.
 
-Disclosed remaining boundary: progressive (SOF2) and arithmetic-coded
-pixel decode raise NotImplementedError (metadata still parses); PIL is
+Disclosed remaining boundary: arithmetic-coded and lossless pixel
+decode raise NotImplementedError (metadata still parses); PIL is
 picked up automatically when installed for those paths.
 
 Same role as png_codec/wav_codec/y4m_codec: the per-batch inner loop of
@@ -367,12 +371,14 @@ def _split_scan(buf: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_pixels(buf: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 pixels, (H, W) grayscale or (H, W, 3) RGB.
+    """JPEG -> uint8 pixels, (H, W) grayscale or (H, W, 3) RGB.
 
-    Supports SOF0/SOF1 Huffman streams with any 1..4 components,
-    sampling factors whose max is an integer multiple of each
-    component's (4:4:4, 4:2:0, 4:2:2, ...), multiple DQT/DHT segments,
-    and DRI restart intervals. Progressive/arithmetic streams raise
+    Supports sequential (SOF0/SOF1) AND progressive (SOF2) Huffman
+    streams with any 1..4 components, sampling factors whose max is an
+    integer multiple of each component's (4:4:4, 4:2:0, 4:2:2, ...),
+    multiple DQT/DHT segments (including between progressive scans),
+    DRI restart intervals, spectral selection, and successive
+    approximation. Arithmetic-coded and lossless streams raise
     NotImplementedError (their metadata still parses via parse_sof).
     """
     buf = bytes(buf)
@@ -381,6 +387,7 @@ def decode_pixels(buf: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     frame = None
+    grids = None
     restart = 0
     pos, n = 2, len(buf)
     while pos + 2 <= n:
@@ -420,11 +427,11 @@ def decode_pixels(buf: bytes) -> np.ndarray:
                 huff[(tc, th)] = _decode_table(bits, values)
                 j += 17 + nv
         elif code in _SOF:
-            if code not in (0xC0, 0xC1):
+            if code not in (0xC0, 0xC1, 0xC2):
                 raise NotImplementedError(
-                    "only baseline/extended-sequential Huffman JPEG pixel "
-                    "decode is supported (progressive/arithmetic: metadata "
-                    "only — install PIL for pixels)"
+                    "only Huffman sequential/progressive JPEG pixel decode "
+                    "is supported (arithmetic/lossless: metadata only — "
+                    "install PIL for pixels)"
                 )
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
@@ -435,7 +442,7 @@ def decode_pixels(buf: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = {"w": w, "h": h, "comps": comps, "progressive": code == 0xC2}
         elif code == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif code == 0xDA:  # SOS
@@ -443,23 +450,33 @@ def decode_pixels(buf: bytes) -> np.ndarray:
                 raise ValueError("corrupt JPEG: scan data before frame header")
             ns = body[0]
             sel = {}
+            scomps = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c : 3 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0x0F)
-            segs, _end = _split_scan(buf, pos + seg_len)
-            return _decode_scan(frame, qt, huff, sel, restart, segs)
+                scomps.append(cs)
+            segs, endpos = _split_scan(buf, pos + seg_len)
+            if not frame["progressive"]:
+                grids = _decode_scan(frame, huff, sel, restart, segs)
+                return _reconstruct(frame, qt, grids)
+            if grids is None:
+                grids = _alloc_grids(frame)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            _progressive_scan(
+                frame, huff, sel, scomps, restart, segs, grids,
+                ss, se, ahal >> 4, ahal & 0x0F,
+            )
+            pos = endpos
+            continue
         pos += seg_len
+    if frame is not None and frame["progressive"] and grids is not None:
+        return _reconstruct(frame, qt, grids)
     raise ValueError("truncated JPEG: no scan found")
 
 
-def _decode_scan(
-    frame: dict,
-    qt: dict[int, np.ndarray],
-    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]],
-    sel: dict[int, tuple[int, int]],
-    restart: int,
-    segs: list[bytes],
-) -> np.ndarray:
+def _geometry(frame: dict) -> tuple[int, int, int, int]:
+    """(hmax, vmax, mcus_x, mcus_y), validating sampling factors."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -468,21 +485,53 @@ def _decode_scan(
             raise NotImplementedError(
                 f"unsupported sampling {c['h']}x{c['v']} vs max {hmax}x{vmax}"
             )
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-    # zigzag-order coefficient grids, one per component
-    grids = [
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _alloc_grids(frame: dict) -> list[np.ndarray]:
+    """Per-component zigzag-order coefficient grids, MCU-padded."""
+    _hmax, _vmax, mcus_x, mcus_y = _geometry(frame)
+    return [
         np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
-        for c in comps
+        for c in frame["comps"]
     ]
+
+
+def _scan_tables(
+    huff: dict,
+    sel: dict[int, tuple[int, int]],
+    comps: list[dict],
+    need_dc: bool = True,
+    need_ac: bool = True,
+):
     tables = []
     for c in comps:
         dc_id, ac_id = sel[c["id"]]
         try:
-            tables.append((huff[(0, dc_id)], huff[(1, ac_id)]))
+            tables.append(
+                (
+                    huff[(0, dc_id)] if need_dc else None,
+                    huff[(1, ac_id)] if need_ac else None,
+                )
+            )
         except KeyError as exc:
             raise ValueError("corrupt JPEG: missing Huffman table") from exc
+    return tables
+
+
+def _decode_scan(
+    frame: dict,
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]],
+    sel: dict[int, tuple[int, int]],
+    restart: int,
+    segs: list[bytes],
+) -> list[np.ndarray]:
+    """Sequential scan: full entropy decode into coefficient grids."""
+    comps = frame["comps"]
+    _hmax, _vmax, mcus_x, mcus_y = _geometry(frame)
+    n_mcus = mcus_x * mcus_y
+    grids = _alloc_grids(frame)
+    tables = _scan_tables(huff, sel, comps)
 
     per_seg = restart if restart else n_mcus
     expect_segs = -(-n_mcus // per_seg)
@@ -507,7 +556,15 @@ def _decode_scan(
             mcu += 1
             if br.overrun():
                 raise ValueError("truncated JPEG: entropy stream ended early")
+    return grids
 
+
+def _reconstruct(
+    frame: dict, qt: dict[int, np.ndarray], grids: list[np.ndarray]
+) -> np.ndarray:
+    """Coefficient grids -> pixels: dequantize, IDCT, upsample, color."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax, _mx, _my = _geometry(frame)
     planes = []
     for ci, c in enumerate(comps):
         q = qt.get(c["tq"])
@@ -546,6 +603,194 @@ def _decode_scan(
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _dc_progressive(
+    br: _BitReader,
+    dc_tbl,
+    coef: np.ndarray,
+    ah: int,
+    al: int,
+    pred: int,
+) -> int:
+    """DC scan contribution for one block (T.81 G.1.2.1). First pass
+    (Ah=0) decodes the arithmetic-shifted diff chain; refinement passes
+    append one magnitude bit (two's-complement OR, like the baseline
+    codecs do in C ints)."""
+    if ah == 0:
+        s = _huff_decode(br, dc_tbl)
+        pred += _extend(br.get(s), s) if s else 0
+        coef[0] = pred << al
+        return pred
+    if br.get(1):
+        coef[0] |= 1 << al
+    return pred
+
+
+def _ac_first(
+    br: _BitReader, ac_tbl, coef: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """First AC pass over one block's band (T.81 G.1.2.2): run-length +
+    EOBn band-end runs; new coefficients arrive shifted by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)-1+bits MORE all-done blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.get(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run past band end")
+        coef[k] = _extend(br.get(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(
+    br: _BitReader, ac_tbl, coef: np.ndarray, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """AC refinement pass over one block's band (T.81 G.1.2.3):
+    newly-significant coefficients arrive as ±1<<Al; every
+    already-nonzero coefficient passed reads one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn, current block included in the count
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.get(r)
+                    break
+                # ZRL: r stays 15 → skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: bad AC refinement symbol")
+                val = p1 if br.get(1) else -p1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if br.get(1) and (abs(c) & p1) == 0:
+                        coef[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # band remainder: correction bits only
+            c = int(coef[k])
+            if c != 0:
+                if br.get(1) and (abs(c) & p1) == 0:
+                    coef[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _noninterleaved_grid(frame: dict, c: dict) -> tuple[int, int]:
+    """Block-grid dims of a single-component (non-interleaved) scan."""
+    hmax, vmax, _mx, _my = _geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(
+    frame: dict,
+    huff: dict,
+    sel: dict[int, tuple[int, int]],
+    scomps: list[int],
+    restart: int,
+    segs: list[bytes],
+    grids: list[np.ndarray],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """One SOF2 scan applied onto the persistent coefficient grids."""
+    comps = frame["comps"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    try:
+        members = [(by_id[cid], comps[by_id[cid]]) for cid in scomps]
+    except KeyError as exc:
+        raise ValueError("corrupt JPEG: scan names unknown component") from exc
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt JPEG: DC scan with nonzero Se")
+    if ss > 0 and len(members) != 1:
+        raise ValueError("corrupt JPEG: AC scans must be non-interleaved")
+    _hmax, _vmax, mcus_x, mcus_y = _geometry(frame)
+    interleaved = len(members) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+        bh = bw = 0
+    else:
+        bh, bw = _noninterleaved_grid(frame, members[0][1])
+        n_units = bw * bh
+    tables = _scan_tables(
+        huff,
+        sel,
+        [c for _, c in members],
+        need_dc=(ss == 0 and ah == 0),
+        need_ac=(ss > 0),
+    )
+    per_seg = restart if restart else n_units
+    expect_segs = -(-n_units // per_seg)
+    if len(segs) < expect_segs:
+        raise ValueError("truncated JPEG: missing restart segments")
+    unit = 0
+    for seg_i in range(expect_segs):
+        br = _BitReader(segs[seg_i])
+        preds = [0] * len(members)
+        eobrun = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            if interleaved:  # DC scan over MCUs
+                my, mx = divmod(unit, mcus_x)
+                for mi, (ci, c) in enumerate(members):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            preds[mi] = _dc_progressive(
+                                br,
+                                tables[mi][0],
+                                grids[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                ah,
+                                al,
+                                preds[mi],
+                            )
+            else:
+                ci, _c = members[0]
+                uy, ux = divmod(unit, bw)
+                coef = grids[ci][uy, ux]
+                if ss == 0:
+                    preds[0] = _dc_progressive(
+                        br, tables[0][0], coef, ah, al, preds[0]
+                    )
+                elif ah == 0:
+                    eobrun = _ac_first(
+                        br, tables[0][1], coef, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine(
+                        br, tables[0][1], coef, ss, se, al, eobrun
+                    )
+            unit += 1
+            if br.overrun():
+                raise ValueError("truncated JPEG: entropy stream ended early")
 
 
 def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
@@ -617,19 +862,10 @@ def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
     )
 
 
-def encode_baseline(
-    img: np.ndarray,
-    quality: int = 85,
-    subsample: bool = True,
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 pixels -> baseline JFIF JPEG bytes.
-
-    img: (H, W) grayscale or (H, W, 3) RGB. Annex K quant (quality-
-    scaled) + typical Huffman tables; color uses 4:2:0 subsampling when
-    `subsample` (box average), else 4:4:4. restart_interval > 0 emits
-    DRI + RSTn markers every that many MCUs.
-    """
+def _prep_frame(img: np.ndarray, quality: int, subsample: bool):
+    """Pixels -> quantized zigzag coefficient grids (shared by the
+    sequential and progressive encoders). Returns (gray, h, w, comps,
+    coefs, mcus_x, mcus_y, q_luma, q_chroma)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -689,7 +925,53 @@ def encode_baseline(
         q = q_luma if c["tq"] == 0 else q_chroma
         coefs.append(_fdct_quant(p, q).reshape(bh_c, bw_c, 64))
         grid_w.append(bw_c)
+    return gray, h, w, comps, coefs, mcus_x, mcus_y, q_luma, q_chroma
 
+
+def _seg(code: int, payload: bytes) -> bytes:
+    return bytes([0xFF, code]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _frame_headers(
+    gray: bool,
+    h: int,
+    w: int,
+    comps: list[dict],
+    q_luma: np.ndarray,
+    q_chroma: np.ndarray,
+    sof_code: int,
+    restart_interval: int,
+) -> bytearray:
+    out = bytearray(SOI)
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(q_luma[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, b"\x01" + bytes(q_chroma[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(sof_code, sof)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_baseline(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = True,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 pixels -> baseline JFIF JPEG bytes.
+
+    img: (H, W) grayscale or (H, W, 3) RGB. Annex K quant (quality-
+    scaled) + typical Huffman tables; color uses 4:2:0 subsampling when
+    `subsample` (box average), else 4:4:4. restart_interval > 0 emits
+    DRI + RSTn markers every that many MCUs.
+    """
+    gray, h, w, comps, coefs, mcus_x, mcus_y, q_luma, q_chroma = _prep_frame(
+        img, quality, subsample
+    )
     dc_tbls = [_DC_LUMA, _DC_CHROMA]
     ac_tbls = [_AC_LUMA, _AC_CHROMA]
     dc_codes = [_canonical_codes(*t) for t in dc_tbls]
@@ -719,33 +1001,271 @@ def encode_baseline(
                     )
     writer.flush()
 
-    def seg(code: int, payload: bytes) -> bytes:
-        return bytes([0xFF, code]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(SOI)
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(q_luma[ZIGZAG].astype(np.uint8)))
-    if not gray:
-        out += seg(0xDB, b"\x01" + bytes(q_chroma[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for c in comps:
-        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
-    out += seg(0xC0, sof)
+    out = _frame_headers(
+        gray, h, w, comps, q_luma, q_chroma, 0xC0, restart_interval
+    )
     used = [0] if gray else [0, 1]
     for t in used:
         bits, values = dc_tbls[t]
-        out += seg(0xC4, bytes([t]) + bytes(bits) + bytes(values))
+        out += _seg(0xC4, bytes([t]) + bytes(bits) + bytes(values))
         bits, values = ac_tbls[t]
-        out += seg(0xC4, bytes([0x10 | t]) + bytes(bits) + bytes(values))
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xC4, bytes([0x10 | t]) + bytes(bits) + bytes(values))
     sos = bytes([len(comps)])
     for c in comps:
         t = 0 if c["tq"] == 0 else 1
         sos += bytes([c["id"], (t << 4) | t])
     sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# AC Huffman table for progressive scans: every symbol representable —
+# the Annex K tables omit the EOBn codes (0x10..0xE0) that band-end
+# runs need. 252 symbols at 8 bits + 4 at 9 bits satisfies Kraft with
+# slack (no all-ones max-length code), at a small size cost.
+_AC_FLAT = (
+    [0, 0, 0, 0, 0, 0, 0, 252, 4, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _flush_eobrun(
+    wtr: _BitWriter, ac_codes: dict, eobrun: int, pending: list[int]
+) -> int:
+    """Emit the accumulated EOBn run plus the correction bits buffered
+    for the blocks it covers."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac_codes[nbits << 4]
+        wtr.put(code, ln)
+        if nbits:
+            wtr.put(eobrun - (1 << nbits), nbits)
+        for b in pending:
+            wtr.put(b, 1)
+        pending.clear()
+    elif pending:
+        raise AssertionError("correction bits buffered without an EOB run")
+    return 0
+
+
+def _enc_ac_first(
+    wtr: _BitWriter,
+    ac_codes: dict,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    pending: list[int],
+) -> int:
+    """First AC pass for one block (T.81 G.1.2.2 encoder side): point
+    transform truncates magnitudes toward zero; all-done blocks join
+    the cross-block EOBn run."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        vals.append(-((-v) >> al) if v < 0 else v >> al)
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        eobrun += 1
+        return _flush_eobrun(wtr, ac_codes, eobrun, pending) if eobrun == 0x7FFF else eobrun
+    eobrun = _flush_eobrun(wtr, ac_codes, eobrun, pending)
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        wtr.put(code, ln)
+        wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if nz[-1] < se - ss:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(wtr, ac_codes, eobrun, pending)
+    return eobrun
+
+
+def _enc_ac_refine(
+    wtr: _BitWriter,
+    ac_codes: dict,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    pending: list[int],
+) -> int:
+    """AC refinement pass for one block (T.81 G.1.2.3 encoder side):
+    newly-significant coefficients (magnitude bit Al is their MSB) get
+    (run, 1) symbols + sign; already-significant ones ride along as
+    buffered correction bits after the next emitted symbol or EOB run."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1  # index of last newly-significant coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_idx = i
+    run = 0
+    bits: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_idx:
+            eobrun = _flush_eobrun(wtr, ac_codes, eobrun, pending)
+            code, ln = ac_codes[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+            for b in bits:
+                wtr.put(b, 1)
+            bits = []
+        if t > 1:
+            bits.append(t & 1)
+            continue
+        eobrun = _flush_eobrun(wtr, ac_codes, eobrun, pending)
+        code, ln = ac_codes[(run << 4) | 1]
+        wtr.put(code, ln)
+        wtr.put(0 if int(zz[ss + i]) < 0 else 1, 1)
+        for b in bits:
+            wtr.put(b, 1)
+        bits = []
+        run = 0
+    if run > 0 or bits:
+        eobrun += 1
+        pending.extend(bits)
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(wtr, ac_codes, eobrun, pending)
+    return eobrun
+
+
+def encode_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = True,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 pixels -> progressive (SOF2) JFIF JPEG bytes.
+
+    Same pixel pipeline as encode_baseline (identical quantized
+    coefficients — decode_pixels output is bit-identical across the two
+    encoders), emitted as a multi-scan script exercising spectral
+    selection AND successive approximation: DC first at Al=1 then
+    refined, luma AC split into two bands at Al=2 refined twice, chroma
+    AC at Al=1 refined once. restart_interval applies per scan in that
+    scan's MCU unit (blocks for non-interleaved AC scans)."""
+    gray, h, w, comps, coefs, mcus_x, mcus_y, q_luma, q_chroma = _prep_frame(
+        img, quality, subsample
+    )
+    frame = {"w": w, "h": h, "comps": comps}
+    dc_tbls = [_DC_LUMA, _DC_CHROMA]
+    dc_codes = [_canonical_codes(*t) for t in dc_tbls]
+    ac_flat = _canonical_codes(*_AC_FLAT)
+
+    out = _frame_headers(
+        gray, h, w, comps, q_luma, q_chroma, 0xC2, restart_interval
+    )
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+    if not gray:
+        out += _seg(
+            0xC4, bytes([0x01]) + bytes(_DC_CHROMA[0]) + bytes(_DC_CHROMA[1])
+        )
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_FLAT[0]) + bytes(_AC_FLAT[1]))
+
+    if gray:
+        script = [
+            ("dc", [0], 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 1),
+            ("ac", 0, 6, 63, 0, 1),
+            ("ac", 0, 1, 63, 1, 0),
+            ("dc", [0], 0, 0, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", [0, 1, 2], 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0, 1, 2], 0, 0, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+
+    for kind, target, ss, se, ah, al in script:
+        wtr = _BitWriter()
+        if kind == "dc":
+            members = [(ci, comps[ci]) for ci in target]
+            n_units = mcus_x * mcus_y
+            grid_w = 0
+        else:
+            ci = target
+            _bh_g, grid_w = _noninterleaved_grid(frame, comps[ci])
+            n_units = _bh_g * grid_w
+        preds = [0] * len(comps)
+        eobrun = 0
+        pending: list[int] = []
+        rst = 0
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                eobrun = _flush_eobrun(wtr, ac_flat, eobrun, pending)
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            if kind == "dc":
+                my, mx = divmod(unit, mcus_x)
+                for ci2, c in members:
+                    t = 0 if c["tq"] == 0 else 1
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = coefs[ci2][my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                v = int(zz[0]) >> al  # arithmetic shift
+                                diff = v - preds[ci2]
+                                preds[ci2] = v
+                                s = abs(diff).bit_length()
+                                code, ln = dc_codes[t][s]
+                                wtr.put(code, ln)
+                                if s:
+                                    wtr.put(
+                                        diff if diff >= 0 else diff + (1 << s) - 1,
+                                        s,
+                                    )
+                            else:
+                                wtr.put((int(zz[0]) >> al) & 1, 1)
+            else:
+                uy, ux = divmod(unit, grid_w)
+                zz = coefs[ci][uy, ux]
+                if ah == 0:
+                    eobrun = _enc_ac_first(
+                        wtr, ac_flat, zz, ss, se, al, eobrun, pending
+                    )
+                else:
+                    eobrun = _enc_ac_refine(
+                        wtr, ac_flat, zz, ss, se, al, eobrun, pending
+                    )
+        eobrun = _flush_eobrun(wtr, ac_flat, eobrun, pending)
+        wtr.flush()
+        if kind == "dc":
+            sos = bytes([len(members)])
+            for _ci2, c in members:
+                t = 0 if c["tq"] == 0 else 1
+                sos += bytes([c["id"], t << 4])
+        else:
+            sos = bytes([1, comps[ci]["id"], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -14,9 +14,10 @@ the deterministic fake header parses directly; REAL PNG images, REAL
 WAV/PCM audio, and REAL Y4M video parse via the pure-stdlib codecs
 (png_codec / wav_codec / y4m_codec — all three run in this sandbox,
 tested by tests/test_multimodal_real.py and test_multimodal_av.py);
-REAL baseline JPEG bytes decode, resize, and re-encode via the
-pure-stdlib Huffman+IDCT codec (jpeg_codec.decode_pixels /
-encode_baseline; progressive JPEG is header-metadata-only); REAL GIFs
+REAL JPEG bytes — baseline AND progressive — decode, resize, and
+re-encode via the pure-stdlib Huffman+IDCT codec
+(jpeg_codec.decode_pixels / encode_baseline / encode_progressive;
+arithmetic-coded streams are header-metadata-only); REAL GIFs
 — including animated, interlaced, transparent ones — decode, resize,
 and frame-sample via the pure-stdlib LZW codec (gif_codec); PIL takes
 over for other image formats when installed; and compressed
@@ -83,9 +84,9 @@ def _decode_stub(buf: bytes) -> tuple[int, int, int]:
     each format: (1) the deterministic fake header parses directly;
     (2) REAL PNG / JPEG / WAV / Y4M bytes parse via the pure-stdlib
     codecs (struct/zlib/ASCII — real-media metadata works in a PIL-less
-    sandbox; JPEG metadata is the SOFn walk, covering baseline AND
-    progressive, and baseline pixels decode for real via
-    jpeg_codec.decode_pixels; audio maps to width=sample_rate,
+    sandbox; JPEG metadata is the SOFn walk and both baseline and
+    progressive pixels decode for real via jpeg_codec.decode_pixels;
+    audio maps to width=sample_rate,
     height=n_channels, n_frames=sample frames); (3) every other real
     image format goes through PIL when installed; else the disclosed
     NotImplementedError boundary (compressed audio/video needs

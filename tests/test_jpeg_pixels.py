@@ -80,11 +80,12 @@ def test_restart_markers_do_not_change_pixels():
     assert np.array_equal(jc.decode_pixels(plain), jc.decode_pixels(rst))
 
 
-def test_decoder_rejects_progressive_and_corrupt_streams():
+def test_decoder_rejects_arithmetic_and_corrupt_streams():
     from tests.test_jpeg_codec import make_jpeg
 
-    with pytest.raises(NotImplementedError, match="progressive|baseline"):
-        jc.decode_pixels(make_jpeg(64, 32, 3, sof_code=0xC2))
+    # arithmetic-coded frames (SOF9) stay behind the disclosed boundary
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jc.decode_pixels(make_jpeg(64, 32, 3, sof_code=0xC9))
     # truncating the entropy stream must fail loudly, never return a
     # silently half-decoded frame
     buf = jc.encode_baseline(_smooth(64, 64), quality=90)
@@ -92,6 +93,51 @@ def test_decoder_rejects_progressive_and_corrupt_streams():
         jc.decode_pixels(buf[: len(buf) // 2])
     with pytest.raises(ValueError, match="SOI"):
         jc.decode_pixels(b"\x89PNG\r\n\x1a\n")
+
+
+def test_progressive_decodes_identically_to_baseline():
+    """Both encoders quantize identically, so decode_pixels must return
+    BIT-IDENTICAL pixels for the SOF0 and SOF2 encodings of the same
+    image — across grayscale, 4:4:4, and 4:2:0."""
+    gray = _smooth(48, 64)
+    assert np.array_equal(
+        jc.decode_pixels(jc.encode_baseline(gray, quality=85, subsample=False)),
+        jc.decode_pixels(jc.encode_progressive(gray, quality=85, subsample=False)),
+    )
+    img = _rgb(48, 64)
+    for sub in (False, True):
+        assert np.array_equal(
+            jc.decode_pixels(jc.encode_baseline(img, quality=90, subsample=sub)),
+            jc.decode_pixels(jc.encode_progressive(img, quality=90, subsample=sub)),
+        )
+
+
+def test_progressive_odd_dims_restarts_and_metadata():
+    """Restart markers inside progressive scans (per-scan MCU units,
+    EOB-run flush at segment boundaries) must not change output, and
+    the SOFn metadata walk sees the same frame header."""
+    img = _rgb(37, 29)
+    plain = jc.encode_progressive(img, quality=90)
+    rst = jc.encode_progressive(img, quality=90, restart_interval=3)
+    assert jc.parse_sof(plain) == (29, 37, 3, 8)
+    assert b"\xff\xdd" in rst
+    assert np.array_equal(jc.decode_pixels(plain), jc.decode_pixels(rst))
+    assert np.array_equal(
+        jc.decode_pixels(plain),
+        jc.decode_pixels(jc.encode_baseline(img, quality=90)),
+    )
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A flat image makes every AC band empty → the encoder accumulates
+    multi-block EOBn runs (the Annex-K-table-less symbols); the decoder
+    must honor run lengths > 1 in both first and refinement passes."""
+    flat = np.full((64, 48, 3), 77, dtype=np.uint8)
+    dec = jc.decode_pixels(jc.encode_progressive(flat, quality=90))
+    assert np.array_equal(
+        dec, jc.decode_pixels(jc.encode_baseline(flat, quality=90))
+    )
+    assert np.abs(dec.astype(int) - 77).max() <= 2
 
 
 def test_resize_nearest_roundtrip():
