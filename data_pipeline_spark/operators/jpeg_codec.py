@@ -886,29 +886,33 @@ def _prep_frame(img: np.ndarray, quality: int, subsample: bool):
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
-            hmax = vmax = 2
-            comps = [
-                {"id": 1, "h": 2, "v": 2, "tq": 0},
-                {"id": 2, "h": 1, "v": 1, "tq": 1},
-                {"id": 3, "h": 1, "v": 1, "tq": 1},
-            ]
-            sub = []
-            for p in (cb, cr):
-                p = _pad_edge(p, 2)
-                sub.append(
-                    (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2])
-                    / 4.0
-                )
-            planes = [y, *sub]
+        # subsample: True -> 4:2:0, False -> 4:4:4, or an explicit
+        # (sh, sv) luma sampling pair — (2, 1) is 4:2:2, (4, 1) is 4:1:1
+        if subsample is True:
+            sh, sv = 2, 2
+        elif subsample is False:
+            sh, sv = 1, 1
         else:
-            hmax = vmax = 1
-            comps = [
-                {"id": 1, "h": 1, "v": 1, "tq": 0},
-                {"id": 2, "h": 1, "v": 1, "tq": 1},
-                {"id": 3, "h": 1, "v": 1, "tq": 1},
-            ]
-            planes = [y, cb, cr]
+            sh, sv = subsample
+            if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                raise ValueError(f"bad sampling {subsample}")
+        hmax, vmax = sh, sv
+        comps = [
+            {"id": 1, "h": sh, "v": sv, "tq": 0},
+            {"id": 2, "h": 1, "v": 1, "tq": 1},
+            {"id": 3, "h": 1, "v": 1, "tq": 1},
+        ]
+        sub = []
+        for p in (cb, cr):
+            if (sh, sv) == (1, 1):
+                sub.append(p)
+                continue
+            p = _pad_edge(p, max(sh, sv))  # even multiple for the fold
+            ph, pw = p.shape[0] // sv * sv, p.shape[1] // sh * sh
+            sub.append(
+                p[:ph, :pw].reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            )
+        planes = [y, *sub]
 
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
@@ -966,8 +970,9 @@ def encode_baseline(
 
     img: (H, W) grayscale or (H, W, 3) RGB. Annex K quant (quality-
     scaled) + typical Huffman tables; color uses 4:2:0 subsampling when
-    `subsample` (box average), else 4:4:4. restart_interval > 0 emits
-    DRI + RSTn markers every that many MCUs.
+    `subsample` is True (box average), 4:4:4 when False, or an explicit
+    (sh, sv) luma sampling pair — (2, 1) = 4:2:2, (4, 1) = 4:1:1.
+    restart_interval > 0 emits DRI + RSTn markers every that many MCUs.
     """
     gray, h, w, comps, coefs, mcus_x, mcus_y, q_luma, q_chroma = _prep_frame(
         img, quality, subsample

@@ -184,6 +184,28 @@ def test_resize_is_exact_nearest_neighbor():
         assert np.array_equal(got, src[rows][:, cols])
 
 
+def test_local_color_table_overrides_global():
+    """A frame carrying its own color table must resolve through it,
+    not the global one (the encoder never writes LCTs, so this is a
+    hand-built stream)."""
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    lct = np.array(
+        [[10, 20, 30], [200, 210, 220], [0, 0, 0], [0, 0, 0]], np.uint8
+    )
+    frame = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, 2, 2)
+        + bytes([0x80 | 0x01])  # LCT flag, 4-entry table
+        + lct.tobytes()
+        + bytes([2])
+        + gc._to_subblocks(gc._lzw_encode(idx.tobytes(), 2))
+    )
+    buf = _screen_with_palette(2, 2, _PAL, bg=3) + frame + b"\x3b"
+    frames, _ = gc.decode_frames(buf)
+    assert np.array_equal(frames[0][0, 0], lct[0])
+    assert np.array_equal(frames[0][0, 1], lct[1])
+
+
 def test_corrupt_gifs_are_loud():
     with pytest.raises(ValueError, match="GIF87a"):
         gc.parse_header(b"NOTAGIF" + bytes(10))

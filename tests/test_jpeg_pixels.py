@@ -128,6 +128,19 @@ def test_progressive_odd_dims_restarts_and_metadata():
     )
 
 
+@pytest.mark.parametrize("samp", [(2, 1), (1, 2), (4, 1)])
+def test_asymmetric_chroma_sampling(samp):
+    """4:2:2 / 4:4:0 / 4:1:1 exercise per-axis chroma upsampling
+    factors the square modes never hit — in both entropy codings."""
+    img = _rgb(37, 51)
+    seq = jc.encode_baseline(img, quality=90, subsample=samp)
+    pro = jc.encode_progressive(img, quality=90, subsample=samp)
+    d = jc.decode_pixels(seq)
+    assert d.shape == img.shape
+    assert np.array_equal(d, jc.decode_pixels(pro))
+    assert _psnr(img, d) > 30.0
+
+
 def test_progressive_eob_runs_span_blocks():
     """A flat image makes every AC band empty → the encoder accumulates
     multi-block EOBn runs (the Annex-K-table-less symbols); the decoder
