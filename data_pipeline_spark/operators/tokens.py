@@ -88,10 +88,24 @@ def pack_sequences(
     group_col: str = "source",
     id_col: str = "doc_id",
     tok_col: str = "tokens",
+    sep_token: int | None = None,
+    with_spans: bool = False,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing, per group: concatenate all
     token arrays in id order, split into fixed seq_len chunks (last
-    partial chunk kept). Output: (group, chunk_id, tokens, n_tok).
+    partial chunk kept). Output: (group, chunk_id, tokens, n_tok
+    [, doc_spans]).
+
+    sep_token: when set, inserted between consecutive documents before
+    chunking (the EOD separator convention — boundaries survive into
+    the training stream even when a reader ignores doc_spans).
+
+    with_spans: also emit `doc_spans: array<struct<doc_id, start,
+    len>>` — which documents contribute to each chunk and where, the
+    metadata an attention mask that stops cross-document attention
+    needs. A straddling document appears in every chunk it touches
+    with the local (start, len) of its resident slice; separator
+    tokens belong to the document they follow.
 
     Packing has carry state across rows (a doc may straddle a chunk
     boundary), so each group is processed as ONE Arrow batch via
@@ -106,28 +120,62 @@ def pack_sequences(
     out_schema = (
         f"{group_col} string, chunk_id long, tokens array<int>, n_tok int"
     )
+    if with_spans:
+        out_schema += (
+            ", doc_spans array<struct<doc_id: string, start: int, len: int>>"
+        )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
-        arrs = [np.asarray(a, dtype=np.int64) for a in pdf[tok_col] if a is not None]
+        arrs, ids = [], []
+        for i, a in zip(pdf[id_col], pdf[tok_col]):
+            if a is not None:
+                arrs.append(np.asarray(a, dtype=np.int64))
+                ids.append(i)
+        cols = {group_col: [], "chunk_id": [], "tokens": [], "n_tok": []}
+        if with_spans:
+            cols["doc_spans"] = []
         if not arrs:
-            return pd.DataFrame(
-                {group_col: [], "chunk_id": [], "tokens": [], "n_tok": []}
-            )
+            return pd.DataFrame(cols)
+        if sep_token is not None:
+            sep = np.array([sep_token], dtype=np.int64)
+            arrs = [x for a in arrs for x in (a, sep)][:-1] or arrs
         flat = np.concatenate(arrs)
         chunks = [
             flat[i : i + seq_len].astype("int32")
             for i in range(0, len(flat), seq_len)
         ]
         g = pdf[group_col].iloc[0]
-        return pd.DataFrame(
-            {
-                group_col: [g] * len(chunks),
-                "chunk_id": np.arange(len(chunks), dtype="int64"),
-                "tokens": chunks,
-                "n_tok": np.array([len(c) for c in chunks], dtype="int32"),
-            }
-        )
+        cols[group_col] = [g] * len(chunks)
+        cols["chunk_id"] = np.arange(len(chunks), dtype="int64")
+        cols["tokens"] = chunks
+        cols["n_tok"] = np.array([len(c) for c in chunks], dtype="int32")
+        if with_spans:
+            # absolute [start, end) of each doc in the packed stream;
+            # the separator after a doc is billed to that doc
+            step = 1 if sep_token is not None else 0
+            lens = np.array([len(a) for a in arrs[:: 2 if step else 1]])
+            if step:
+                lens = lens + np.where(np.arange(len(lens)) < len(lens) - 1, 1, 0)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            spans_per_chunk: list[list[dict]] = []
+            d = 0
+            for ci in range(len(chunks)):
+                lo, hi = ci * seq_len, ci * seq_len + len(chunks[ci])
+                while d < len(lens) and ends[d] <= lo:
+                    d += 1
+                spans, j = [], d
+                while j < len(lens) and starts[j] < hi:
+                    s = max(int(starts[j]), lo)
+                    e = min(int(ends[j]), hi)
+                    spans.append(
+                        {"doc_id": ids[j], "start": s - lo, "len": e - s}
+                    )
+                    j += 1
+                spans_per_chunk.append(spans)
+            cols["doc_spans"] = spans_per_chunk
+        return pd.DataFrame(cols)
 
     return df.select(group_col, id_col, tok_col).groupBy(group_col).applyInPandas(
         _pack, schema=out_schema

@@ -74,6 +74,61 @@ def test_pack_sequences_matches_numpy_oracle(spark):
             assert len(c) == 64
 
 
+def test_pack_sequences_sep_token_and_spans_reconstruct(spark):
+    """EOD separators land between documents, and doc_spans carry
+    enough metadata to reconstruct every document from its packed
+    slices — including documents straddling chunk boundaries."""
+    rows = [
+        ("s", "a", list(range(100, 105))),  # 5 tokens
+        ("s", "b", list(range(200, 207))),  # 7 → straddles with seq_len 8
+        ("s", "c", list(range(300, 310))),  # 10
+    ]
+    d = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
+    out = sorted(
+        TK.pack_sequences(
+            d, seq_len=8, sep_token=-1, with_spans=True
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stream: a(5) SEP b(7) SEP c(10) = 24 tokens → 3 full chunks
+    assert [r["n_tok"] for r in out] == [8, 8, 8]
+    flat = [t for r in out for t in r["tokens"]]
+    assert flat == [*range(100, 105), -1, *range(200, 207), -1, *range(300, 310)]
+    # reconstruct each doc from its spans (sep billed to the doc it follows)
+    rebuilt: dict[str, list[int]] = {}
+    for r in out:
+        for s in sorted(r["doc_spans"], key=lambda s: s["start"]):
+            seg = list(r["tokens"][s["start"] : s["start"] + s["len"]])
+            rebuilt.setdefault(s["doc_id"], []).extend(seg)
+    assert rebuilt["a"] == [*range(100, 105), -1]
+    assert rebuilt["b"] == [*range(200, 207), -1]
+    assert rebuilt["c"] == list(range(300, 310))
+    # spans tile each chunk exactly: no gaps, no overlaps
+    for r in out:
+        spans = sorted(r["doc_spans"], key=lambda s: s["start"])
+        pos = 0
+        for s in spans:
+            assert s["start"] == pos and s["len"] > 0
+            pos += s["len"]
+        assert pos == r["n_tok"]
+
+
+def test_pack_sequences_spans_without_separator(spark):
+    rows = [("s", "x", [1, 2, 3]), ("s", "y", [4, 5, 6, 7])]
+    d = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
+    out = sorted(
+        TK.pack_sequences(d, seq_len=5, with_spans=True).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [list(r["tokens"]) for r in out] == [[1, 2, 3, 4, 5], [6, 7]]
+    assert [
+        (s["doc_id"], s["start"], s["len"]) for s in out[0]["doc_spans"]
+    ] == [("x", 0, 3), ("y", 3, 2)]
+    assert [
+        (s["doc_id"], s["start"], s["len"]) for s in out[1]["doc_spans"]
+    ] == [("y", 0, 2)]
+
+
 def test_ngram_stream(spark):
     rows = [("a", [1, 2, 3, 4]), ("b", [9]), ("c", [])]
     out = {r["doc_id"]: r["ngrams"] for r in TK.ngram_stream(_df(spark, rows), n=2).collect()}
