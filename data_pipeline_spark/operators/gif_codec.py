@@ -307,15 +307,20 @@ def _to_subblocks(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _palette_depth(n_colors: int) -> int:
+    return max(1, int(n_colors - 1).bit_length())
+
+
 def encode(
     frames: list[np.ndarray],
     delays: list[int] | None = None,
     interlace: bool = False,
 ) -> bytes:
-    """Full-frame GIF89a encoder. All frames share one global palette
-    built from their exact colors — raises if the union exceeds 256
-    (nearest-neighbor resizes of a decoded GIF never do; quantization
-    is out of scope and loud)."""
+    """Full-frame GIF89a encoder. When all frames' exact colors fit one
+    256-entry palette it becomes the global color table; otherwise each
+    frame gets its own local color table (the shape palette-optimized
+    animated GIFs use) — raising only if a SINGLE frame exceeds 256
+    colors, since quantization is out of scope and loud."""
     if not frames:
         raise ValueError("no frames")
     arrs = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
@@ -325,24 +330,47 @@ def encode(
             raise ValueError("all frames must be (H, W, 3) and equal size")
     flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
     pal, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(pal) > 256:
-        raise ValueError(f"{len(pal)} distinct colors — GIF palettes cap at 256")
-    depth = max(1, int(len(pal) - 1).bit_length())
-    table = np.zeros((2**depth, 3), np.uint8)
-    table[: len(pal)] = pal
-    mcs = max(2, depth)
+    use_gct = len(pal) <= 256
+    if use_gct:
+        per_frame_idx = np.split(inverse.astype(np.uint8), len(arrs))
+        per_frame_pal: list[np.ndarray | None] = [None] * len(arrs)
+        depth = _palette_depth(len(pal))
+    else:
+        per_frame_idx, per_frame_pal = [], []
+        for a in arrs:
+            fpal, finv = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+            if len(fpal) > 256:
+                raise ValueError(
+                    f"{len(fpal)} distinct colors in one frame — GIF "
+                    "palettes cap at 256 and quantization is out of scope"
+                )
+            per_frame_idx.append(finv.astype(np.uint8))
+            per_frame_pal.append(fpal)
+        depth = 1  # minimal 2-entry GCT, unused by frames
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | ((depth - 1) & 0x07), 0, 0])  # GCT flag+size, bg, aspect
+    table = np.zeros((2**depth, 3), np.uint8)
+    if use_gct:
+        table[: len(pal)] = pal
     out += table.tobytes()
-    per_frame = np.split(inverse.astype(np.uint8), len(arrs))
-    for i, idx in enumerate(per_frame):
+    for i, idx in enumerate(per_frame_idx):
         delay = delays[i] if delays else 0
         # GCE: disposal=1 (keep), no transparency
         out += bytes([0x21, 0xF9, 4, 0x04]) + struct.pack("<H", delay) + bytes([0, 0])
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
-        out += bytes([0x40 if interlace else 0x00])
+        fpal = per_frame_pal[i]
+        if fpal is None:
+            out += bytes([0x40 if interlace else 0x00])
+            mcs = max(2, depth)
+        else:
+            fdepth = _palette_depth(len(fpal))
+            out += bytes([0x80 | (0x40 if interlace else 0) | (fdepth - 1)])
+            ftable = np.zeros((2**fdepth, 3), np.uint8)
+            ftable[: len(fpal)] = fpal
+            out += ftable.tobytes()
+            mcs = max(2, fdepth)
         rows = idx.reshape(h, w)
         if interlace:
             order = np.concatenate(
@@ -357,16 +385,24 @@ def encode(
 
 def get_frame(buf: bytes, i: int) -> bytes:
     """Frame i as a standalone single-frame GIF (fully composited)."""
+    return frames_at(buf, [i])[0]
+
+
+def frames_at(buf: bytes, indices: list[int]) -> list[bytes]:
+    """Standalone single-frame GIFs for several indices with ONE full
+    decode — the frame_sample batch path; calling get_frame per index
+    would re-run LZW + compositing once per sampled frame."""
     frames, delays = decode_frames(buf)
-    return encode([frames[i]], [delays[i]])
+    return [encode([frames[i]], [delays[i]]) for i in indices]
 
 
 def resize(buf: bytes, new_w: int, new_h: int) -> bytes:
     """Nearest-neighbor resize of every frame, preserving delays.
     Nearest sampling keeps the original palette, so re-encoding is
     always possible and lossless given the resampled pixels."""
+    from .png_codec import nearest_indices
+
     frames, delays = decode_frames(buf)
     h, w = frames[0].shape[:2]
-    rows = np.minimum((np.arange(new_h) * h) // new_h, h - 1)
-    cols = np.minimum((np.arange(new_w) * w) // new_w, w - 1)
+    rows, cols = nearest_indices(h, new_h), nearest_indices(w, new_w)
     return encode([f[rows][:, cols] for f in frames], delays)

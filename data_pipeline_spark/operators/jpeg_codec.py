@@ -399,6 +399,8 @@ def decode_pixels(buf: bytes) -> np.ndarray:
             break
         code = buf[pos]
         pos += 1
+        if code == 0xD9:  # EOI: ignore anything after (trailing junk)
+            break
         if code in _STANDALONE:
             continue
         if pos + 2 > n:
@@ -456,21 +458,24 @@ def decode_pixels(buf: bytes) -> np.ndarray:
                 sel[cs] = (tt >> 4, tt & 0x0F)
                 scomps.append(cs)
             segs, endpos = _split_scan(buf, pos + seg_len)
-            if not frame["progressive"]:
-                grids = _decode_scan(frame, huff, sel, restart, segs)
-                return _reconstruct(frame, qt, grids)
             if grids is None:
                 grids = _alloc_grids(frame)
-            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
-            ahal = body[3 + 2 * ns]
-            _progressive_scan(
-                frame, huff, sel, scomps, restart, segs, grids,
-                ss, se, ahal >> 4, ahal & 0x0F,
-            )
+            if not frame["progressive"]:
+                # sequential scans may be interleaved (one SOS, all
+                # components) or per-component (several SOS) — decode
+                # each into the persistent grids and keep walking
+                _decode_scan(frame, huff, sel, scomps, restart, segs, grids)
+            else:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                _progressive_scan(
+                    frame, huff, sel, scomps, restart, segs, grids,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                )
             pos = endpos
             continue
         pos += seg_len
-    if frame is not None and frame["progressive"] and grids is not None:
+    if frame is not None and grids is not None:
         return _reconstruct(frame, qt, grids)
     raise ValueError("truncated JPEG: no scan found")
 
@@ -523,40 +528,61 @@ def _decode_scan(
     frame: dict,
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]],
     sel: dict[int, tuple[int, int]],
+    scomps: list[int],
     restart: int,
     segs: list[bytes],
-) -> list[np.ndarray]:
-    """Sequential scan: full entropy decode into coefficient grids."""
+    grids: list[np.ndarray],
+) -> None:
+    """One sequential scan (full DC+AC entropy decode) into the
+    persistent grids. Ns > 1 scans walk MCUs interleaved; Ns == 1 scans
+    walk the component's own block grid (libjpeg emits valid baseline
+    files as one scan per component in non-interleaved mode)."""
     comps = frame["comps"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    try:
+        members = [(by_id[cid], comps[by_id[cid]]) for cid in scomps]
+    except KeyError as exc:
+        raise ValueError("corrupt JPEG: scan names unknown component") from exc
     _hmax, _vmax, mcus_x, mcus_y = _geometry(frame)
-    n_mcus = mcus_x * mcus_y
-    grids = _alloc_grids(frame)
-    tables = _scan_tables(huff, sel, comps)
+    interleaved = len(members) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+        grid_w = 0
+    else:
+        bh, grid_w = _noninterleaved_grid(frame, members[0][1])
+        n_units = bh * grid_w
+    tables = _scan_tables(huff, sel, [c for _, c in members])
 
-    per_seg = restart if restart else n_mcus
-    expect_segs = -(-n_mcus // per_seg)
+    per_seg = restart if restart else n_units
+    expect_segs = -(-n_units // per_seg)
     if len(segs) < expect_segs:
         raise ValueError("truncated JPEG: missing restart segments")
-    mcu = 0
+    unit = 0
     for seg_i in range(expect_segs):
         br = _BitReader(segs[seg_i])
-        preds = [0] * len(comps)
-        for _ in range(min(per_seg, n_mcus - mcu)):
-            my, mx = divmod(mcu, mcus_x)
-            for ci, c in enumerate(comps):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        preds[ci] = _decode_block(
-                            br,
-                            tables[ci][0],
-                            tables[ci][1],
-                            preds[ci],
-                            grids[ci][my * c["v"] + by, mx * c["h"] + bx],
-                        )
-            mcu += 1
+        preds = [0] * len(members)
+        for _ in range(min(per_seg, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for mi, (ci, c) in enumerate(members):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            preds[mi] = _decode_block(
+                                br,
+                                tables[mi][0],
+                                tables[mi][1],
+                                preds[mi],
+                                grids[ci][my * c["v"] + by, mx * c["h"] + bx],
+                            )
+            else:
+                ci, _c = members[0]
+                uy, ux = divmod(unit, grid_w)
+                preds[0] = _decode_block(
+                    br, tables[0][0], tables[0][1], preds[0], grids[ci][uy, ux]
+                )
+            unit += 1
             if br.overrun():
                 raise ValueError("truncated JPEG: entropy stream ended early")
-    return grids
 
 
 def _reconstruct(
@@ -965,6 +991,7 @@ def encode_baseline(
     quality: int = 85,
     subsample: bool = True,
     restart_interval: int = 0,
+    interleave: bool = True,
 ) -> bytes:
     """uint8 pixels -> baseline JFIF JPEG bytes.
 
@@ -973,38 +1000,17 @@ def encode_baseline(
     `subsample` is True (box average), 4:4:4 when False, or an explicit
     (sh, sv) luma sampling pair — (2, 1) = 4:2:2, (4, 1) = 4:1:1.
     restart_interval > 0 emits DRI + RSTn markers every that many MCUs.
+    interleave=False writes libjpeg-style non-interleaved output: one
+    SOS per component walking that component's own block grid.
     """
     gray, h, w, comps, coefs, mcus_x, mcus_y, q_luma, q_chroma = _prep_frame(
         img, quality, subsample
     )
+    frame = {"w": w, "h": h, "comps": comps}
     dc_tbls = [_DC_LUMA, _DC_CHROMA]
     ac_tbls = [_AC_LUMA, _AC_CHROMA]
     dc_codes = [_canonical_codes(*t) for t in dc_tbls]
     ac_codes = [_canonical_codes(*t) for t in ac_tbls]
-
-    writer = _BitWriter()
-    preds = [0] * len(comps)
-    n_mcus = mcus_x * mcus_y
-    rst = 0
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            writer.flush()
-            writer.out += bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) & 7
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, c in enumerate(comps):
-            t = 0 if c["tq"] == 0 else 1
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    preds[ci] = _encode_block(
-                        writer,
-                        coefs[ci][my * c["v"] + by, mx * c["h"] + bx],
-                        preds[ci],
-                        dc_codes[t],
-                        ac_codes[t],
-                    )
-    writer.flush()
 
     out = _frame_headers(
         gray, h, w, comps, q_luma, q_chroma, 0xC0, restart_interval
@@ -1015,13 +1021,61 @@ def encode_baseline(
         out += _seg(0xC4, bytes([t]) + bytes(bits) + bytes(values))
         bits, values = ac_tbls[t]
         out += _seg(0xC4, bytes([0x10 | t]) + bytes(bits) + bytes(values))
-    sos = bytes([len(comps)])
-    for c in comps:
-        t = 0 if c["tq"] == 0 else 1
-        sos += bytes([c["id"], (t << 4) | t])
-    sos += b"\x00\x3f\x00"
-    out += _seg(0xDA, sos)
-    out += writer.out
+
+    def sos_header(members: list[dict]) -> bytes:
+        sos = bytes([len(members)])
+        for c in members:
+            t = 0 if c["tq"] == 0 else 1
+            sos += bytes([c["id"], (t << 4) | t])
+        return _seg(0xDA, sos + b"\x00\x3f\x00")
+
+    def run_scan(members_idx: list[int]) -> bytes:
+        writer = _BitWriter()
+        members = [(ci, comps[ci]) for ci in members_idx]
+        if len(members) > 1:
+            n_units = mcus_x * mcus_y
+            grid_w = 0
+        else:
+            bh, grid_w = _noninterleaved_grid(frame, members[0][1])
+            n_units = bh * grid_w
+        preds = [0] * len(members)
+        rst = 0
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(members)
+            if len(members) > 1:
+                my, mx = divmod(unit, mcus_x)
+                for mi, (ci, c) in enumerate(members):
+                    t = 0 if c["tq"] == 0 else 1
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            preds[mi] = _encode_block(
+                                writer,
+                                coefs[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                preds[mi],
+                                dc_codes[t],
+                                ac_codes[t],
+                            )
+            else:
+                ci, c = members[0]
+                t = 0 if c["tq"] == 0 else 1
+                uy, ux = divmod(unit, grid_w)
+                preds[0] = _encode_block(
+                    writer, coefs[ci][uy, ux], preds[0], dc_codes[t], ac_codes[t]
+                )
+        writer.flush()
+        return bytes(writer.out)
+
+    if interleave:
+        out += sos_header(comps)
+        out += run_scan(list(range(len(comps))))
+    else:
+        for ci, c in enumerate(comps):
+            out += sos_header([c])
+            out += run_scan([ci])
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1278,11 +1332,12 @@ def encode_progressive(
 def resize_nearest(buf: bytes, new_w: int, new_h: int, quality: int = 90) -> bytes:
     """Decode a baseline JPEG, nearest-neighbor resize, re-encode.
 
-    The JPEG twin of y4m_codec.resize / png_codec.resize_gray — used by
-    operators/multimodal.resize_media so compressed images resize for
-    real in a PIL-less sandbox."""
+    The JPEG twin of y4m_codec.resize / png_codec.resize_nearest — used
+    by operators/multimodal.resize_media so compressed images resize
+    for real in a PIL-less sandbox."""
+    from .png_codec import nearest_indices
+
     px = decode_pixels(buf)
     h, w = px.shape[:2]
-    rows = np.minimum((np.arange(new_h) * h) // new_h, h - 1)
-    cols = np.minimum((np.arange(new_w) * w) // new_w, w - 1)
-    return encode_baseline(px[rows][:, cols], quality=quality, subsample=False)
+    out = px[nearest_indices(h, new_h)][:, nearest_indices(w, new_w)]
+    return encode_baseline(out, quality=quality, subsample=False)

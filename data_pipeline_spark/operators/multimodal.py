@@ -173,6 +173,14 @@ def resize_media(
         wb = width.to_bytes(4, "big")
         hb = height.to_bytes(4, "big")
         for pdf in it:
+            def _pil_resize(buf: bytes) -> bytes:
+                import io
+
+                with _pil().open(io.BytesIO(buf)) as im:
+                    out = io.BytesIO()
+                    im.resize((width, height)).save(out, format="PNG")
+                    return out.getvalue()
+
             def _rs(buf: bytes) -> bytes:
                 buf = bytes(buf)
                 if buf[:4] != _MAGIC:
@@ -184,23 +192,29 @@ def resize_media(
                         raise ValueError(
                             "resize_media on audio — use resample_audio"
                         )
-                    if jpeg_codec.is_jpeg(buf):  # real baseline JPEG
-                        return jpeg_codec.resize_nearest(buf, width, height)
-                    if gif_codec.is_gif(buf):  # every frame, delays kept
-                        return gif_codec.resize(buf, width, height)
-                    if png_codec.is_png(buf) and _pil() is None:
-                        # PIL-less real PNG path, any 8-bit color type;
-                        # 16-bit/interlaced raise loudly here rather
-                        # than falling through to the header rewrite
-                        return png_codec.resize_nearest(buf, width, height)
-                    image_mod = _pil()
-                    if image_mod is not None:  # real image → real resize
-                        import io
-
-                        with image_mod.open(io.BytesIO(buf)) as im:
-                            out = io.BytesIO()
-                            im.resize((width, height)).save(out, format="PNG")
-                            return out.getvalue()
+                    # image tiers: stdlib codec first; its disclosed
+                    # NotImplementedError edges (CMYK/12-bit JPEG,
+                    # 16-bit/interlaced PNG, >256-color GIF frames)
+                    # fall through to PIL when installed, and stay
+                    # loud — never the fake-header rewrite — when not
+                    is_image = (
+                        jpeg_codec.is_jpeg(buf)
+                        or gif_codec.is_gif(buf)
+                        or png_codec.is_png(buf)
+                    )
+                    if is_image:
+                        try:
+                            if jpeg_codec.is_jpeg(buf):
+                                return jpeg_codec.resize_nearest(buf, width, height)
+                            if gif_codec.is_gif(buf):  # every frame, delays kept
+                                return gif_codec.resize(buf, width, height)
+                            return png_codec.resize_nearest(buf, width, height)
+                        except (NotImplementedError, ValueError):
+                            if _pil() is None:
+                                raise
+                            return _pil_resize(buf)
+                    if _pil() is not None:  # other real formats via PIL
+                        return _pil_resize(buf)
                 _decode_stub(buf)  # validates the format
                 return buf[:5] + wb + hb + buf[13:]
 
@@ -251,21 +265,21 @@ def extract_features(
     return df.select(id_col, media_col).mapInPandas(_batches, out_schema)
 
 
-def _frame_payload(buf: bytes, i: int) -> bytes:
-    """Per-frame bytes for frame_sample: Y4M → that frame's raw YUV
-    planes; WAV → that sample frame's PCM block (decimation); animated
-    GIF → that frame composited and re-encoded as a standalone
-    single-frame GIF; single-frame formats (fake header, PNG, JPEG) →
-    the whole payload."""
+def _frame_payloads(buf: bytes, fns: list[int]) -> list[bytes]:
+    """Per-frame bytes for frame_sample: Y4M → each frame's raw YUV
+    planes (O(1) slices); WAV → PCM blocks (decimation); animated GIF →
+    composited standalone single-frame GIFs, decoded ONCE for the whole
+    index list (per-frame decode would be quadratic in frame count);
+    single-frame formats (fake header, PNG, JPEG) → the whole payload."""
     from . import gif_codec, wav_codec, y4m_codec
 
     if y4m_codec.is_y4m(buf):
-        return y4m_codec.get_frame(buf, i)
+        return [y4m_codec.get_frame(buf, i) for i in fns]
     if wav_codec.is_wav(buf):
-        return wav_codec.frame_bytes(buf, i)
+        return [wav_codec.frame_bytes(buf, i) for i in fns]
     if gif_codec.is_gif(buf):
-        return gif_codec.get_frame(buf, i)
-    return buf
+        return gif_codec.frames_at(buf, fns)
+    return [buf for _ in fns]
 
 
 def frame_sample(
@@ -285,10 +299,10 @@ def frame_sample(
             for i, buf in zip(pdf[id_col], pdf[media_col]):
                 buf = bytes(buf)
                 n = _decode_stub(buf)[2]
-                for f in range(0, n, every_n):
-                    rows["ids"].append(i)
-                    rows["fno"].append(f)
-                    rows["frame"].append(_frame_payload(buf, f))
+                fns = list(range(0, n, every_n))
+                rows["ids"].extend([i] * len(fns))
+                rows["fno"].extend(fns)
+                rows["frame"].extend(_frame_payloads(buf, fns))
             yield pd.DataFrame(
                 {id_col: rows["ids"], "frame_no": rows["fno"], "frame": rows["frame"]}
             )

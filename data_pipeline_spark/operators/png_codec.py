@@ -188,14 +188,18 @@ def encode_pixels(img: np.ndarray) -> bytes:
     )
 
 
+def nearest_indices(n_src: int, n_dst: int) -> np.ndarray:
+    """Source indices for nearest-neighbor resampling one axis — the
+    single shared formula behind the PNG/JPEG/GIF resize paths."""
+    return np.minimum((np.arange(n_dst) * n_src) // n_dst, n_src - 1)
+
+
 def resize_nearest(buf: bytes, new_w: int, new_h: int) -> bytes:
     """Nearest-neighbor resize of any supported PNG, re-encoded with
     the same channel count (palette images come back as RGB/RGBA)."""
     px = decode_pixels(buf)
     h, w = px.shape[:2]
-    rows = np.minimum((np.arange(new_h) * h) // new_h, h - 1)
-    cols = np.minimum((np.arange(new_w) * w) // new_w, w - 1)
-    return encode_pixels(px[rows][:, cols])
+    return encode_pixels(px[nearest_indices(h, new_h)][:, nearest_indices(w, new_w)])
 
 
 def decode_gray(buf: bytes) -> tuple[int, int, list[bytearray]]:

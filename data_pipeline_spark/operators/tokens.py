@@ -105,7 +105,10 @@ def pack_sequences(
     metadata an attention mask that stops cross-document attention
     needs. A straddling document appears in every chunk it touches
     with the local (start, len) of its resident slice; separator
-    tokens belong to the document they follow.
+    tokens belong to the document they follow. Spans are always
+    positive-length: a zero-token document contributes a span only via
+    its separator (when sep_token is set), otherwise it vanishes from
+    the packed stream.
 
     Packing has carry state across rows (a doc may straddle a chunk
     boundary), so each group is processed as ONE Arrow batch via
@@ -169,9 +172,10 @@ def pack_sequences(
                 while j < len(lens) and starts[j] < hi:
                     s = max(int(starts[j]), lo)
                     e = min(int(ends[j]), hi)
-                    spans.append(
-                        {"doc_id": ids[j], "start": s - lo, "len": e - s}
-                    )
+                    if e > s:  # zero-token docs (no sep) emit no span
+                        spans.append(
+                            {"doc_id": ids[j], "start": s - lo, "len": e - s}
+                        )
                     j += 1
                 spans_per_chunk.append(spans)
             cols["doc_spans"] = spans_per_chunk

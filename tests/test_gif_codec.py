@@ -75,6 +75,26 @@ def test_palette_overflow_is_loud():
         gc.encode([img])
 
 
+def test_cross_frame_palette_overflow_uses_local_tables():
+    """Frames whose color UNION exceeds 256 but individually fit (the
+    gifsicle/ffmpeg palette-optimized shape) must encode via per-frame
+    local color tables, exactly — and survive resize/get_frame."""
+    rng = np.random.default_rng(8)
+    frames_in = []
+    for s in range(3):
+        pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)  # 200 each
+        frames_in.append(pal[rng.integers(0, 200, (12, 16))])
+    buf = gc.encode(frames_in, delays=[4, 5, 6])
+    frames, delays = gc.decode_frames(buf)
+    assert delays == [4, 5, 6]
+    for got, src in zip(frames, frames_in):
+        assert np.array_equal(got, src)
+    # the batch-path helpers work on the same stream
+    one = gc.decode_frames(gc.frames_at(buf, [1])[0])[0][0]
+    assert np.array_equal(one, frames_in[1])
+    assert gc.parse_header(gc.resize(buf, 8, 6)) == (8, 6, 3)
+
+
 def _gce(disposal: int, transparent: int = -1, delay: int = 0) -> bytes:
     flags = (disposal << 2) | (0x01 if transparent >= 0 else 0)
     return bytes([0x21, 0xF9, 4, flags]) + struct.pack("<H", delay) + bytes(

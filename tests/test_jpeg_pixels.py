@@ -141,6 +141,33 @@ def test_asymmetric_chroma_sampling(samp):
     assert _psnr(img, d) > 30.0
 
 
+def test_noninterleaved_sequential_scans():
+    """libjpeg's non-interleaved baseline mode writes one SOS per
+    component — the decoder must keep consuming scans after the first
+    instead of reconstructing early, and per-scan restart intervals
+    count blocks, not MCUs."""
+    img = _rgb(37, 51)
+    inter = jc.encode_baseline(img, quality=90, subsample=True)
+    non = jc.encode_baseline(img, quality=90, subsample=True, interleave=False)
+    assert non.count(b"\xff\xda") == 3 and inter.count(b"\xff\xda") == 1
+    assert np.array_equal(jc.decode_pixels(inter), jc.decode_pixels(non))
+    rst = jc.encode_baseline(
+        img, quality=90, subsample=True, interleave=False, restart_interval=4
+    )
+    assert np.array_equal(jc.decode_pixels(inter), jc.decode_pixels(rst))
+
+
+def test_trailing_junk_after_eoi_is_ignored():
+    """Cameras append junk after EOI; both entropy codings must stop at
+    the trailer instead of trying to parse beyond it."""
+    img = _smooth(24, 32)
+    for enc in (jc.encode_baseline, jc.encode_progressive):
+        buf = enc(img, quality=90)
+        assert np.array_equal(
+            jc.decode_pixels(buf + b"\x00\x01junk\xff"), jc.decode_pixels(buf)
+        )
+
+
 def test_progressive_eob_runs_span_blocks():
     """A flat image makes every AC band empty → the encoder accumulates
     multi-block EOBn runs (the Annex-K-table-less symbols); the decoder

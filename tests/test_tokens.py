@@ -113,6 +113,28 @@ def test_pack_sequences_sep_token_and_spans_reconstruct(spark):
         assert pos == r["n_tok"]
 
 
+def test_pack_sequences_empty_docs_never_emit_zero_spans(spark):
+    """Zero-token documents must not produce degenerate len-0 spans:
+    without a separator they vanish; with one, their span is exactly
+    the separator token."""
+    rows = [("s", "a", [1, 2]), ("s", "b", []), ("s", "c", [3, 4])]
+    d = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
+    out = TK.pack_sequences(d, seq_len=4, with_spans=True).collect()
+    spans = [s for r in out for s in r["doc_spans"]]
+    assert all(s["len"] > 0 for s in spans)
+    assert {s["doc_id"] for s in spans} == {"a", "c"}
+    out = sorted(
+        TK.pack_sequences(d, seq_len=4, sep_token=-1, with_spans=True).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    flat = [t for r in out for t in r["tokens"]]
+    assert flat == [1, 2, -1, -1, 3, 4]
+    spans = [s for r in out for s in r["doc_spans"]]
+    assert all(s["len"] > 0 for s in spans)
+    b_spans = [s for s in spans if s["doc_id"] == "b"]
+    assert len(b_spans) == 1 and b_spans[0]["len"] == 1  # just its sep
+
+
 def test_pack_sequences_spans_without_separator(spark):
     rows = [("s", "x", [1, 2, 3]), ("s", "y", [4, 5, 6, 7])]
     d = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
