@@ -186,6 +186,108 @@ def pack_sequences(
     )
 
 
+def pack_best_fit(
+    df: DataFrame,
+    seq_len: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    pad_token: int = PAD_ID,
+    overflow: str = "error",
+) -> DataFrame:
+    """Bin packing that NEVER splits a document — the convention for
+    instruction/SFT data, where a truncated example is a corrupted one
+    (pack_sequences is the pretraining concat-then-chunk twin).
+
+    Per group: first-fit-decreasing — docs sorted by length descending,
+    each placed in the first bin with room, new bin otherwise; bins pad
+    to seq_len with pad_token. Output: (group, bin_id, tokens, n_tok,
+    n_pad, doc_spans) where n_tok counts real tokens, and doc_spans
+    carries (doc_id, start, len) per resident doc for the attention
+    mask. Deterministic: ties broken by doc id.
+
+    overflow: what to do with a doc longer than seq_len — "error"
+    (default, loud), "drop" (excluded, count them upstream), or
+    "truncate" (keep the first seq_len tokens).
+
+    Same distribution contract as pack_sequences: one group = one Arrow
+    batch via applyInPandas, numpy inside, group token totals sized by
+    the caller.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if overflow not in ("error", "drop", "truncate"):
+        raise ValueError(f"bad overflow mode {overflow!r}")
+
+    out_schema = (
+        f"{group_col} string, bin_id long, tokens array<int>, n_tok int, "
+        "n_pad int, doc_spans array<struct<doc_id: string, start: int, len: int>>"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = []
+        for i, a in zip(pdf[id_col], pdf[tok_col]):
+            if a is None:
+                continue
+            arr = np.asarray(a, dtype=np.int64)
+            if len(arr) > seq_len:
+                if overflow == "error":
+                    raise ValueError(
+                        f"doc {i!r}: {len(arr)} tokens > seq_len {seq_len} "
+                        "(overflow='drop'/'truncate' to opt out)"
+                    )
+                if overflow == "drop":
+                    continue
+                arr = arr[:seq_len]
+            if len(arr):
+                docs.append((i, arr))
+        # first-fit-decreasing, ties by id for determinism
+        docs.sort(key=lambda d: (-len(d[1]), d[0]))
+        bins: list[list[tuple]] = []
+        room: list[int] = []
+        for i, arr in docs:
+            for b, r in enumerate(room):
+                if len(arr) <= r:
+                    bins[b].append((i, arr))
+                    room[b] -= len(arr)
+                    break
+            else:
+                bins.append([(i, arr)])
+                room.append(seq_len - len(arr))
+        cols = {
+            group_col: [],
+            "bin_id": [],
+            "tokens": [],
+            "n_tok": [],
+            "n_pad": [],
+            "doc_spans": [],
+        }
+        g = pdf[group_col].iloc[0] if len(pdf) else None
+        for b, members in enumerate(bins):
+            flat = np.concatenate([a for _, a in members])
+            pad = seq_len - len(flat)
+            spans, pos = [], 0
+            for i, arr in members:
+                spans.append({"doc_id": i, "start": pos, "len": len(arr)})
+                pos += len(arr)
+            cols[group_col].append(g)
+            cols["bin_id"].append(b)
+            cols["tokens"].append(
+                np.concatenate(
+                    [flat, np.full(pad, pad_token, np.int64)]
+                ).astype("int32")
+            )
+            cols["n_tok"].append(len(flat))
+            cols["n_pad"].append(pad)
+            cols["doc_spans"].append(spans)
+        return pd.DataFrame(cols)
+
+    return df.select(group_col, id_col, tok_col).groupBy(group_col).applyInPandas(
+        _pack, schema=out_schema
+    )
+
+
 def mean_token(df: DataFrame, tok_col: str = "tokens") -> DataFrame:
     """Per-row mean token id (A7 centroid analog) via aggregate HOF."""
     t = F.col(tok_col)

@@ -151,6 +151,61 @@ def test_pack_sequences_spans_without_separator(spark):
     ] == [("y", 0, 2)]
 
 
+def test_pack_best_fit_never_splits_and_pads(spark):
+    """First-fit-decreasing SFT packing: every doc lands whole in one
+    bin, bins never exceed seq_len, padding is exact, and spans tile
+    the real-token prefix."""
+    rows = [
+        ("s", "a", list(range(6))),
+        ("s", "b", list(range(10, 14))),  # 4
+        ("s", "c", list(range(20, 25))),  # 5
+        ("s", "d", list(range(30, 33))),  # 3
+        ("s", "e", []),
+    ]
+    d = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
+    out = TK.pack_best_fit(d, seq_len=8, pad_token=-9).collect()
+    placed: dict[str, list[int]] = {}
+    for r in out:
+        assert r["n_tok"] + r["n_pad"] == 8 == len(r["tokens"])
+        assert list(r["tokens"][r["n_tok"] :]) == [-9] * r["n_pad"]
+        pos = 0
+        for s in sorted(r["doc_spans"], key=lambda s: s["start"]):
+            assert s["start"] == pos and s["len"] > 0
+            seg = list(r["tokens"][pos : pos + s["len"]])
+            assert s["doc_id"] not in placed  # whole doc, exactly one bin
+            placed[s["doc_id"]] = seg
+            pos += s["len"]
+        assert pos == r["n_tok"]
+    assert placed == {
+        "a": list(range(6)),
+        "b": list(range(10, 14)),
+        "c": list(range(20, 25)),
+        "d": list(range(30, 33)),
+    }
+    # FFD on (6,5,4,3) into len-8 bins → 3 bins: [6],[5,3],[4]
+    assert len(out) == 3
+    total_pad = sum(r["n_pad"] for r in out)
+    assert total_pad == 3 * 8 - 18
+
+
+def test_pack_best_fit_overflow_modes(spark):
+    rows = [("s", "big", list(range(12))), ("s", "ok", [1, 2])]
+    d = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="seq_len"):
+        TK.pack_best_fit(d, seq_len=8).collect()
+    dropped = TK.pack_best_fit(d, seq_len=8, overflow="drop").collect()
+    assert {s["doc_id"] for r in dropped for s in r["doc_spans"]} == {"ok"}
+    trunc = TK.pack_best_fit(d, seq_len=8, overflow="truncate").collect()
+    by_doc = {
+        s["doc_id"]: (r, s) for r in trunc for s in r["doc_spans"]
+    }
+    r, s = by_doc["big"]
+    assert s["len"] == 8
+    assert list(r["tokens"][s["start"] : s["start"] + 8]) == list(range(8))
+
+
 def test_ngram_stream(spark):
     rows = [("a", [1, 2, 3, 4]), ("b", [9]), ("c", [])]
     out = {r["doc_id"]: r["ngrams"] for r in TK.ngram_stream(_df(spark, rows), n=2).collect()}
