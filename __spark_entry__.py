@@ -1721,14 +1721,18 @@ bnd AS ({bnd})"""
 
 
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-pass corpus statistic: per-doc rare-word counts against the
-    corpus document-frequency table (all-integer aggregates)."""
-    return T.rarity_stats(_t(spark, sf_dir, "documents"))
+    """Composite corpus statistics per document: rare-word counts vs
+    the corpus document-frequency table (all-integer aggregates) +
+    the bigram-LM quality score (corpus-trained add-k model, mean
+    negative log2 transition probability — the CCNet-style gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.rarity_stats(docs).join(T.lm_score(docs), "doc_id")
 
 
 _SQL_TEXT_RARITY = f"""
-WITH dw AS (
-  SELECT DISTINCT doc_id, unnest({words_sql('text')}) AS word FROM documents),
+WITH wl AS (SELECT doc_id, {words_sql('text')} AS ws FROM documents),
+dw AS (
+  SELECT DISTINCT doc_id, unnest(ws) AS word FROM wl),
 dfreq AS (SELECT word, count(*) AS _df FROM dw GROUP BY word),
 per AS (
   SELECT doc_id,
@@ -1736,12 +1740,25 @@ per AS (
     CAST(sum(CASE WHEN _df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_words,
     min(_df) AS min_df
   FROM dw JOIN dfreq USING (word)
+  GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS u, unnest(ws[2:len(ws)]) AS v
+  FROM wl WHERE len(ws) >= 2),
+cbg AS (SELECT u, v, count(*) AS c FROM bg GROUP BY u, v),
+ctx AS (SELECT u, sum(c) AS cu FROM cbg GROUP BY u),
+vocab AS (SELECT count(DISTINCT word) AS vsz FROM dw),
+lm AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+    round(sum(-log2((c + 0.5) / (cu + 0.5 * vsz))) / count(*), 4) AS lm_nll
+  FROM bg JOIN cbg USING (u, v) JOIN ctx USING (u) CROSS JOIN vocab
   GROUP BY doc_id)
 SELECT d.doc_id,
   CAST(coalesce(per.n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
   CAST(coalesce(per.n_rare_words, 0) AS BIGINT) AS n_rare_words,
-  CAST(per.min_df AS BIGINT) AS min_df
-FROM documents d LEFT JOIN per USING (doc_id)
+  CAST(per.min_df AS BIGINT) AS min_df,
+  CAST(coalesce(lm.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(lm.lm_nll AS DOUBLE) AS lm_nll
+FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN lm USING (doc_id)
 """
 
 

@@ -322,6 +322,85 @@ def rarity_stats(
     )
 
 
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the n-gram-LM
+    quality gate (the CCNet/KenLM filtering pattern: a document whose
+    word transitions are improbable under a model of the corpus is
+    boilerplate, gibberish, or another language). Trains add-k-smoothed
+    bigram probabilities ON the input corpus in the same job, then
+    scores every document's mean negative log2 transition probability:
+    P(v|u) = (C(u,v) + k) / (C(u) + k·V), V = corpus vocabulary size,
+    C(u) = bigram-context count. Output: (doc_id, n_bigrams, lm_nll)
+    with lm_nll rounded to 4 decimals (cross-engine float-sum-order
+    tolerance, same discipline as the pricing aggregates) and NULL for
+    documents with fewer than two words.
+
+    Scale shape: bigram extraction is pure codegen (slice + zip_with on
+    the word array, no explode of raw text twice); the (doc, bigram)
+    stream crosses one exchange keyed on the bigram for the count join,
+    context counts fold from the ALREADY-aggregated bigram table
+    (vocab-sized, not corpus-sized), V rides a 1-row broadcast, and the
+    per-doc rollup is the only other shuffle. A swap to a pre-trained
+    LM is the same plan with the count tables read instead of built.
+    """
+    staged = ensure_parallelism(df).select(
+        F.col(id_col), words(text_col).alias("_w")
+    )
+    sep = F.lit("\x1f")
+    bg = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.zip_with(
+                    F.slice("_w", 1, F.size("_w") - 1),
+                    F.slice("_w", 2, F.size("_w") - 1),
+                    lambda u, v: F.concat(u, sep, v),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_bg"),
+    ).repartition("_bg")
+    cbg = bg.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))
+    ctx = (
+        cbg.select(F.substring_index("_bg", "\x1f", 1).alias("_u"), "_c")
+        .groupBy("_u")
+        .agg(F.sum("_c").alias("_cu"))
+    )
+    vocab = staged.select(F.explode("_w").alias("_word")).agg(
+        F.count_distinct("_word").alias("_v")
+    )
+    nll = -F.log2(
+        (F.col("_c") + F.lit(k)) / (F.col("_cu") + F.lit(k) * F.col("_v"))
+    )
+    per_doc = (
+        bg.join(cbg, "_bg")
+        .withColumn("_u", F.substring_index("_bg", "\x1f", 1))
+        .join(ctx, "_u")
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(nll) / F.count(F.lit(1)), 4).alias("lm_nll"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.col("lm_nll").cast("double").alias("lm_nll"),
+        )
+    )
+
+
 # URL pattern, Java-regex/RE2-portable (group 1 = host). [^\s]* eats the
 # path so counts see one match per URL, not per path segment. (?i) makes
 # the scheme AND host match case-insensitively in both engines (URLs are

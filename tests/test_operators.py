@@ -396,6 +396,33 @@ def test_rarity_stats_golden(spark):
     assert got[2] == {"doc_id": 2, "n_distinct_words": 2, "n_rare_words": 1, "min_df": 1}
 
 
+def test_lm_score_golden(spark):
+    """Hand-computed add-k bigram model on a 3-doc corpus: repeated
+    transitions score cheaper than one-off ones, short docs get NULL."""
+    import math
+
+    docs = [
+        (0, "a b a b"),
+        (1, "a b"),
+        (2, "c"),  # one word: no bigrams
+        (3, ""),  # '' tokenizes to [''] — a single pseudo-word
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.lm_score(df, k=0.5).collect()}
+    # corpus bigrams: doc0 (a,b),(b,a),(a,b); doc1 (a,b)
+    # C(a,b)=3, C(b,a)=1; C(a·)=3, C(b·)=1; V = |{a,b,c,''}| = 4
+    p_ab = (3 + 0.5) / (3 + 0.5 * 4)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 4)
+    nll0 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    nll1 = -math.log2(p_ab)
+    assert got[0]["n_bigrams"] == 3 and abs(got[0]["lm_nll"] - nll0) < 1e-3
+    assert got[1]["n_bigrams"] == 1 and abs(got[1]["lm_nll"] - nll1) < 1e-3
+    # doc1's single shared transition is more probable than doc0's mix
+    assert got[1]["lm_nll"] < got[0]["lm_nll"]
+    assert got[2] == {"doc_id": 2, "n_bigrams": 0, "lm_nll": None}
+    assert got[3] == {"doc_id": 3, "n_bigrams": 0, "lm_nll": None}
+
+
 def test_url_stats_golden(spark):
     docs = [
         (0, "read https://a.example/x and http://b.example/y?q=1 now"),
