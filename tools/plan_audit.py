@@ -79,6 +79,11 @@ AUDITED = {
             "word partitioning",
             r"!hashpartitioning\(doc_id\S*, _word",
         ),
+        # the lm_score fold (r5): the (doc,bigram) stream is keyed on
+        # the bigram and the count-join reuses it; the 1-row vocabulary
+        # aggregate rides a broadcast, never a shuffle
+        ("bigram stream repartitioned on the bigram key", r"hashpartitioning\(_bg"),
+        ("vocabulary size joins via broadcast", r"BroadcastNestedLoopJoin"),
     ],
     "corpus_curation": [
         # split/sample/mix are pure column exprs over the portable hash —
