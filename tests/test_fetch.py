@@ -10,9 +10,12 @@ import hashlib
 import http.server
 import threading
 
+import numpy as np
 import pytest
 
 from data_pipeline_spark.sources.fetch import fetch_urls
+
+_MEDIA: dict[str, bytes] = {}
 
 _FLAKY_HITS: dict[str, int] = {}
 
@@ -30,6 +33,12 @@ class _Handler(http.server.BaseHTTPRequestHandler):
             self.wfile.write(body)
         elif self.path == "/big":
             body = b"x" * 10_000
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path.startswith("/media/"):
+            body = _MEDIA[self.path[7:]]
             self.send_response(200)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
@@ -88,6 +97,35 @@ def test_fetch_retries_flaky_endpoint(spark, server):
     df404 = spark.createDataFrame([(f"{server}/nope",)], "url string")
     row = fetch_urls(df404, retries=3, backoff=0.01).collect()[0]
     assert row["status"] == 404 and row["n_attempts"] == 1
+
+
+def test_fetch_composes_with_media_decode(spark, server):
+    """The ingestion shape end to end: fetch real image payloads over
+    HTTP, then run the fetched binary column straight through the
+    Arrow-batched metadata stage — two mapInPandas stages composing
+    without a collect between them."""
+    from data_pipeline_spark.operators import jpeg_codec, png_codec
+    from data_pipeline_spark.operators.multimodal import decode_metadata
+
+    _MEDIA["a.png"] = png_codec.encode_pixels(
+        np.full((12, 20, 3), 55, np.uint8)
+    )
+    _MEDIA["b.jpg"] = jpeg_codec.encode_baseline(
+        np.full((8, 16), 99, np.uint8), quality=90
+    )
+    df = spark.createDataFrame(
+        [(f"{server}/media/a.png",), (f"{server}/media/b.jpg",)], "url string"
+    )
+    fetched = fetch_urls(df, retries=0).selectExpr(
+        "xxhash64(url) AS id", "content AS media", "url"
+    )
+    meta = {r["url"]: r for r in (
+        fetched.join(decode_metadata(fetched), "id").collect()
+    )}
+    a = meta[f"{server}/media/a.png"]
+    assert (a["width"], a["height"]) == (20, 12)
+    b = meta[f"{server}/media/b.jpg"]
+    assert (b["width"], b["height"]) == (16, 8)
 
 
 def test_fetch_size_cap_and_unreachable(spark, server):
