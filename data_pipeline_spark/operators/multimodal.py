@@ -194,9 +194,9 @@ def resize_media(
                         )
                     # image tiers: stdlib codec first; its disclosed
                     # NotImplementedError edges (CMYK/12-bit JPEG,
-                    # 16-bit/interlaced PNG, >256-color GIF frames)
-                    # fall through to PIL when installed, and stay
-                    # loud — never the fake-header rewrite — when not
+                    # sub-8-bit PNG, >256-color GIF frames) fall
+                    # through to PIL when installed, and stay loud —
+                    # never the fake-header rewrite — when not
                     is_image = (
                         jpeg_codec.is_jpeg(buf)
                         or gif_codec.is_gif(buf)

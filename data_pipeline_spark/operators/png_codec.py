@@ -1,14 +1,16 @@
 """Pure-stdlib PNG codec — the REAL-media tier that runs in any Python
 (struct + zlib, no PIL/ffmpeg).
 
-Scope: every 8-bit non-interlaced color type decodes for real —
-grayscale (0), RGB (2), palette (3, incl. tRNS transparency → RGBA),
-gray+alpha (4), RGBA (6) — unapplying all five standard scanline
-filters (None/Sub/Up/Average/Paeth); encode writes filter-0 streams
-for the same shapes. IHDR metadata parses for EVERY valid PNG, so
-decode_metadata works on 16-bit/interlaced files too; their pixel
-decode is the disclosed NotImplementedError boundary (PIL is picked up
-automatically when installed, multimodal._pil).
+Scope: every 8- and 16-bit color type decodes for real — grayscale
+(0), RGB (2), palette (3, incl. tRNS transparency → RGBA), gray+alpha
+(4), RGBA (6) — non-interlaced AND Adam7-interlaced, unapplying all
+five standard scanline filters (None/Sub/Up/Average/Paeth; filters
+run on bytes, so 16-bit rows unfilter at byte granularity per spec);
+encode writes filter-0 streams for the same shapes in either depth or
+interlace order. IHDR metadata parses for EVERY valid PNG, so
+decode_metadata works on sub-8-bit files too; 1/2/4-bit pixel decode
+is the remaining disclosed NotImplementedError boundary (PIL is
+picked up automatically when installed, multimodal._pil).
 
 This closes the round-3 gap 'real media decoding evidence': the
 real-decode contract (tests/test_multimodal_real.py) EXECUTES in a
@@ -123,21 +125,66 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_samples(
+    raw: bytes, w: int, h: int, channels: int, depth: int, interlace: int
+) -> np.ndarray:
+    """Decompressed IDAT → (h, w, channels) sample array (uint8 or
+    uint16), handling Adam7 sub-images. PNG filters operate on BYTES,
+    so 16-bit rows unfilter at bpp = 2·channels then view >u2."""
+    bpp = channels * (depth // 8)
+    dt = np.uint8 if depth == 8 else np.dtype(">u2")
+
+    def one_image(data: bytes, iw: int, ih: int, pos: int) -> tuple[np.ndarray, int]:
+        stride = iw * bpp + 1
+        sub = _unfilter(data[pos : pos + ih * stride], iw, ih, bpp)
+        arr = (
+            np.frombuffer(sub.tobytes(), dt)
+            .reshape(ih, iw, channels)
+            .astype(np.uint16 if depth == 16 else np.uint8)
+        )
+        return arr, pos + ih * stride
+
+    if not interlace:
+        return one_image(raw, w, h, 0)[0]
+    out = np.zeros((h, w, channels), np.uint16 if depth == 16 else np.uint8)
+    pos = 0
+    for x0, xs, y0, ys in _ADAM7:
+        iw = (w - x0 + xs - 1) // xs
+        ih = (h - y0 + ys - 1) // ys
+        if iw == 0 or ih == 0:
+            continue
+        sub, pos = one_image(raw, iw, ih, pos)
+        out[y0::ys, x0::xs] = sub
+    return out
+
+
 def decode_pixels(buf: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → uint8 pixels: (H, W) for grayscale,
-    (H, W, C) otherwise. Palette images resolve through PLTE (+ tRNS →
-    RGBA); 16-bit and Adam7-interlaced files raise NotImplementedError
-    (their metadata still parses)."""
+    """PNG → pixels: (H, W) for grayscale, (H, W, C) otherwise; uint8
+    for 8-bit files, uint16 for 16-bit. Covers color types 0/2/3/4/6,
+    Adam7 interlacing, and palette resolution through PLTE (+ tRNS →
+    RGBA). Sub-8-bit depths (1/2/4) raise NotImplementedError (their
+    metadata still parses)."""
     w, h, depth, ctype = parse_ihdr(buf)
     interlace = buf[28] if len(buf) > 28 else 0
-    if depth != 8 or ctype not in _CHANNELS or interlace:
+    if depth not in (8, 16) or ctype not in _CHANNELS or (
+        depth == 16 and ctype == 3
+    ):
         raise NotImplementedError(
-            f"stdlib PNG decode supports 8-bit non-interlaced color types "
-            f"0/2/3/4/6; got depth={depth} color_type={ctype} "
-            f"interlace={interlace} (PIL handles the rest when installed)"
+            f"stdlib PNG decode supports 8/16-bit color types 0/2/3/4/6; "
+            f"got depth={depth} color_type={ctype} (PIL handles the rest "
+            "when installed)"
         )
     idat = b"".join(d for t, d in _chunks(buf) if t == b"IDAT")
-    samples = _unfilter(zlib.decompress(idat), w, h, _CHANNELS[ctype])
+    samples = _decode_samples(
+        zlib.decompress(idat), w, h, _CHANNELS[ctype], depth, interlace
+    )
     if ctype == 3:
         plte = next((d for t, d in _chunks(buf) if t == b"PLTE"), None)
         if plte is None:
@@ -157,10 +204,16 @@ def decode_pixels(buf: bytes) -> np.ndarray:
     return samples.reshape(h, w, _CHANNELS[ctype])
 
 
-def encode_pixels(img: np.ndarray) -> bytes:
-    """uint8 pixels → 8-bit filter-0 PNG. (H, W) → grayscale; (H, W, 2)
-    → gray+alpha; (H, W, 3) → RGB; (H, W, 4) → RGBA."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+def encode_pixels(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Pixels → filter-0 PNG. (H, W) → grayscale; (H, W, 2) →
+    gray+alpha; (H, W, 3) → RGB; (H, W, 4) → RGBA. uint8 input writes
+    8-bit, uint16 writes 16-bit (big-endian); interlace=True writes
+    Adam7 pass order."""
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = np.ascontiguousarray(
+        img, dtype=np.dtype(">u2") if depth == 16 else np.uint8
+    )
     if img.ndim == 2:
         ctype = 0
     elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
@@ -177,9 +230,19 @@ def encode_pixels(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    flat = img.reshape(h, -1)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    def rows_bytes(a: np.ndarray) -> bytes:
+        flat = a.reshape(a.shape[0], -1)
+        return b"".join(b"\x00" + flat[y].tobytes() for y in range(a.shape[0]))
+
+    if interlace:
+        raw = b"".join(
+            rows_bytes(img[y0::ys, x0::xs])
+            for x0, xs, y0, ys in _ADAM7
+            if img[y0::ys, x0::xs].shape[0] and img[y0::ys, x0::xs].shape[1]
+        )
+    else:
+        raw = rows_bytes(img)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
     return (
         SIG
         + chunk(b"IHDR", ihdr)

@@ -104,16 +104,44 @@ def test_palette_png_resolves_plte_and_trns():
     assert list(out[0, 0]) == [255, 0, 0, 255]
 
 
+def test_16bit_roundtrip_every_color_type():
+    """16-bit samples survive exactly (big-endian on the wire, native
+    uint16 in memory); filters unapply at byte granularity per spec."""
+    rng = np.random.default_rng(6)
+    for c in (1, 2, 3, 4):
+        shape = (11, 13) if c == 1 else (11, 13, c)
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+        out = P.decode_pixels(P.encode_pixels(img))
+        assert out.dtype == np.uint16 and np.array_equal(out, img)
+
+
+def test_adam7_interlaced_roundtrip():
+    """Adam7 pass extraction/reassembly, including dimensions small
+    enough that some passes are empty (spec: omitted, not zero-size)."""
+    rng = np.random.default_rng(7)
+    for shape, dt in (
+        ((13, 17, 3), np.uint8),
+        ((5, 3), np.uint8),
+        ((1, 1), np.uint8),
+        ((10, 9, 4), np.uint16),
+    ):
+        hi = 256 if dt == np.uint8 else 65536
+        img = rng.integers(0, hi, shape, dtype=dt)
+        buf = P.encode_pixels(img, interlace=True)
+        assert buf[28] == 1  # IHDR interlace flag actually set
+        assert np.array_equal(P.decode_pixels(buf), img)
+
+
 def test_unsupported_depths_stay_loud_but_metadata_parses():
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit gray
     buf = (
         P.SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 4 * 6))))
+        + _chunk(b"IDAT", zlib.compress(bytes(4 * 3)))
         + _chunk(b"IEND", b"")
     )
-    assert P.parse_ihdr(buf) == (4, 4, 16, 2)
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    assert P.parse_ihdr(buf) == (4, 4, 4, 0)
+    with pytest.raises(NotImplementedError, match="depth=4"):
         P.decode_pixels(buf)
 
 
