@@ -193,10 +193,10 @@ def resize_media(
                             "resize_media on audio — use resample_audio"
                         )
                     # image tiers: stdlib codec first; its disclosed
-                    # NotImplementedError edges (CMYK/12-bit JPEG,
-                    # sub-8-bit PNG, >256-color GIF frames) fall
-                    # through to PIL when installed, and stay loud —
-                    # never the fake-header rewrite — when not
+                    # edges (CMYK/12-bit/arithmetic JPEG, >256-color
+                    # GIF frames) fall through to PIL when installed,
+                    # and stay loud — never the fake-header rewrite —
+                    # when not
                     is_image = (
                         jpeg_codec.is_jpeg(buf)
                         or gif_codec.is_gif(buf)

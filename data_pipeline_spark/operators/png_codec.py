@@ -1,16 +1,18 @@
 """Pure-stdlib PNG codec — the REAL-media tier that runs in any Python
 (struct + zlib, no PIL/ffmpeg).
 
-Scope: every 8- and 16-bit color type decodes for real — grayscale
-(0), RGB (2), palette (3, incl. tRNS transparency → RGBA), gray+alpha
-(4), RGBA (6) — non-interlaced AND Adam7-interlaced, unapplying all
-five standard scanline filters (None/Sub/Up/Average/Paeth; filters
-run on bytes, so 16-bit rows unfilter at byte granularity per spec);
-encode writes filter-0 streams for the same shapes in either depth or
-interlace order. IHDR metadata parses for EVERY valid PNG, so
-decode_metadata works on sub-8-bit files too; 1/2/4-bit pixel decode
-is the remaining disclosed NotImplementedError boundary (PIL is
-picked up automatically when installed, multimodal._pil).
+Scope: EVERY legal (bit depth, color type) combination of the spec
+decodes for real — grayscale (0) at 1/2/4/8/16 bits (sub-8-bit rows
+bit-unpack and rescale to the 0-255 presentation range), RGB (2),
+palette (3, incl. 1/2/4-bit indices and tRNS transparency → RGBA),
+gray+alpha (4), RGBA (6) at 8/16 bits — non-interlaced AND
+Adam7-interlaced, unapplying all five standard scanline filters
+(None/Sub/Up/Average/Paeth; filters run on bytes, so 16-bit rows
+unfilter at byte granularity per spec). encode writes filter-0
+streams for the same shapes in either depth, bit-packed low-depth
+grayscale, or Adam7 pass order. Illegal depth/color combinations
+raise ValueError; there is no remaining NotImplementedError tier in
+this module (PIL, when installed, is only used for non-PNG formats).
 
 This closes the round-3 gap 'real media decoding evidence': the
 real-decode contract (tests/test_multimodal_real.py) EXECUTES in a
@@ -138,22 +140,35 @@ def _decode_samples(
     """Decompressed IDAT → (h, w, channels) sample array (uint8 or
     uint16), handling Adam7 sub-images. PNG filters operate on BYTES,
     so 16-bit rows unfilter at bpp = 2·channels then view >u2."""
-    bpp = channels * (depth // 8)
-    dt = np.uint8 if depth == 8 else np.dtype(">u2")
+    if depth < 8:  # 1/2/4-bit: one channel, bit-packed MSB-first rows
+        def one_image(data: bytes, iw: int, ih: int, pos: int) -> tuple[np.ndarray, int]:
+            rb = (iw * depth + 7) // 8  # row bytes, padded to boundary
+            stride = rb + 1
+            sub = _unfilter(data[pos : pos + ih * stride], rb, ih, 1)
+            bits = np.unpackbits(sub, axis=1)[:, : iw * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            arr = (bits.reshape(ih, iw, depth) * weights).sum(axis=2)
+            return arr.astype(np.uint8)[..., None], pos + ih * stride
 
-    def one_image(data: bytes, iw: int, ih: int, pos: int) -> tuple[np.ndarray, int]:
-        stride = iw * bpp + 1
-        sub = _unfilter(data[pos : pos + ih * stride], iw, ih, bpp)
-        arr = (
-            np.frombuffer(sub.tobytes(), dt)
-            .reshape(ih, iw, channels)
-            .astype(np.uint16 if depth == 16 else np.uint8)
-        )
-        return arr, pos + ih * stride
+        out_dt = np.uint8
+    else:
+        bpp = channels * (depth // 8)
+        dt = np.uint8 if depth == 8 else np.dtype(">u2")
+        out_dt = np.uint16 if depth == 16 else np.uint8
+
+        def one_image(data: bytes, iw: int, ih: int, pos: int) -> tuple[np.ndarray, int]:
+            stride = iw * bpp + 1
+            sub = _unfilter(data[pos : pos + ih * stride], iw, ih, bpp)
+            arr = (
+                np.frombuffer(sub.tobytes(), dt)
+                .reshape(ih, iw, channels)
+                .astype(out_dt)
+            )
+            return arr, pos + ih * stride
 
     if not interlace:
         return one_image(raw, w, h, 0)[0]
-    out = np.zeros((h, w, channels), np.uint16 if depth == 16 else np.uint8)
+    out = np.zeros((h, w, channels), out_dt)
     pos = 0
     for x0, xs, y0, ys in _ADAM7:
         iw = (w - x0 + xs - 1) // xs
@@ -167,24 +182,25 @@ def _decode_samples(
 
 def decode_pixels(buf: bytes) -> np.ndarray:
     """PNG → pixels: (H, W) for grayscale, (H, W, C) otherwise; uint8
-    for 8-bit files, uint16 for 16-bit. Covers color types 0/2/3/4/6,
-    Adam7 interlacing, and palette resolution through PLTE (+ tRNS →
-    RGBA). Sub-8-bit depths (1/2/4) raise NotImplementedError (their
-    metadata still parses)."""
+    for ≤8-bit files (1/2/4-bit grayscale rescales to full 0-255 range
+    per presentation convention), uint16 for 16-bit. Covers every
+    legal (depth, color type) combination of the spec plus Adam7
+    interlacing; palette resolves through PLTE (+ tRNS → RGBA)."""
     w, h, depth, ctype = parse_ihdr(buf)
     interlace = buf[28] if len(buf) > 28 else 0
-    if depth not in (8, 16) or ctype not in _CHANNELS or (
-        depth == 16 and ctype == 3
-    ):
-        raise NotImplementedError(
-            f"stdlib PNG decode supports 8/16-bit color types 0/2/3/4/6; "
-            f"got depth={depth} color_type={ctype} (PIL handles the rest "
-            "when installed)"
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if ctype not in _CHANNELS or depth not in legal[ctype]:
+        raise ValueError(
+            f"illegal PNG depth/color combination: depth={depth} "
+            f"color_type={ctype}"
         )
     idat = b"".join(d for t, d in _chunks(buf) if t == b"IDAT")
     samples = _decode_samples(
         zlib.decompress(idat), w, h, _CHANNELS[ctype], depth, interlace
     )
+    if depth < 8 and ctype == 0:  # rescale 1/2/4-bit gray to 8-bit
+        samples = (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if ctype == 3:
         plte = next((d for t, d in _chunks(buf) if t == b"PLTE"), None)
         if plte is None:
@@ -204,12 +220,45 @@ def decode_pixels(buf: bytes) -> np.ndarray:
     return samples.reshape(h, w, _CHANNELS[ctype])
 
 
-def encode_pixels(img: np.ndarray, interlace: bool = False) -> bytes:
+def encode_pixels(
+    img: np.ndarray, interlace: bool = False, depth: int | None = None
+) -> bytes:
     """Pixels → filter-0 PNG. (H, W) → grayscale; (H, W, 2) →
     gray+alpha; (H, W, 3) → RGB; (H, W, 4) → RGBA. uint8 input writes
     8-bit, uint16 writes 16-bit (big-endian); interlace=True writes
-    Adam7 pass order."""
+    Adam7 pass order. depth=1/2/4 bit-packs a 2-D array of RAW sample
+    values (< 2^depth) as low-depth grayscale (non-interlaced only)."""
     img = np.asarray(img)
+    if depth in (1, 2, 4):
+        if img.ndim != 2 or int(img.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"depth={depth} needs 2-D samples < {1 << depth}")
+        if interlace:
+            raise ValueError("low-depth interlaced encode unsupported")
+        h, w = img.shape
+        bits = (
+            ((img.astype(np.uint8)[..., None] >> np.arange(depth - 1, -1, -1)) & 1)
+            .reshape(h, w * depth)
+        )
+        pad = (-bits.shape[1]) % 8
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+        rows = np.packbits(bits, axis=1)
+        raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+        def chunk(ct: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ct
+                + data
+                + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        return (
+            SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
     depth = 16 if img.dtype == np.uint16 else 8
     img = np.ascontiguousarray(
         img, dtype=np.dtype(">u2") if depth == 16 else np.uint8

@@ -132,16 +132,46 @@ def test_adam7_interlaced_roundtrip():
         assert np.array_equal(P.decode_pixels(buf), img)
 
 
-def test_unsupported_depths_stay_loud_but_metadata_parses():
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit gray
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_low_depth_grayscale_decodes_with_rescale(depth):
+    """1/2/4-bit grayscale: bit-packed MSB-first rows with byte-padded
+    boundaries, rescaled to the full 0-255 presentation range."""
+    rng = np.random.default_rng(depth)
+    img = rng.integers(0, 1 << depth, (9, 13), dtype=np.uint8)  # odd width
+    buf = P.encode_pixels(img, depth=depth)
+    assert P.parse_ihdr(buf) == (13, 9, depth, 0)
+    scale = 255 // ((1 << depth) - 1)
+    assert np.array_equal(P.decode_pixels(buf), img * scale)
+
+
+def test_low_depth_palette_resolves():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]], np.uint8)  # 2-bit
+    bits = np.packbits(
+        ((idx[..., None] >> np.arange(1, -1, -1)) & 1).reshape(2, 10), axis=1
+    )
+    raw = b"".join(b"\x00" + bits[y].tobytes() for y in range(2))
+    buf = (
+        P.SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 2, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(P.decode_pixels(buf), pal[idx])
+
+
+def test_illegal_depth_combination_is_loud():
+    # 4-bit RGB is not a legal PNG shape — metadata parses, decode raises
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
     buf = (
         P.SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(4 * 3)))
+        + _chunk(b"IDAT", zlib.compress(bytes(4 * 7)))
         + _chunk(b"IEND", b"")
     )
-    assert P.parse_ihdr(buf) == (4, 4, 4, 0)
-    with pytest.raises(NotImplementedError, match="depth=4"):
+    assert P.parse_ihdr(buf) == (4, 4, 4, 2)
+    with pytest.raises(ValueError, match="illegal"):
         P.decode_pixels(buf)
 
 
