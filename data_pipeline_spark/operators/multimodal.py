@@ -158,10 +158,11 @@ def resize_media(
 ) -> DataFrame:
     """Resize stage: binary → binary with new dimensions. Real images
     AND real video resize for real: Y4M via the stdlib plane codec
-    (every frame, nearest-neighbor), baseline JPEG via the stdlib
-    Huffman+IDCT codec (decode → nearest resize → re-encode), animated
-    GIF via the stdlib LZW codec, PNG of any 8-bit color type via the
-    stdlib filter codec (PIL covers 16-bit/interlaced when installed);
+    (every frame, nearest-neighbor), JPEG — baseline AND progressive —
+    via the stdlib Huffman+IDCT codec (decode → nearest resize →
+    re-encode), animated GIF via the stdlib LZW codec, PNG of every
+    legal depth/color shape via the stdlib filter codec (PIL is only a
+    fallback for the stdlib codecs' disclosed edges, e.g. CMYK JPEG);
     the fake codec rewrites its header.
     Audio rejects loudly (resolution is meaningless — use
     resample_audio). The Arrow round-trip of binary payloads in and out

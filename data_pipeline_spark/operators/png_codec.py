@@ -11,8 +11,9 @@ Adam7-interlaced, unapplying all five standard scanline filters
 unfilter at byte granularity per spec). encode writes filter-0
 streams for the same shapes in either depth, bit-packed low-depth
 grayscale, or Adam7 pass order. Illegal depth/color combinations
-raise ValueError; there is no remaining NotImplementedError tier in
-this module (PIL, when installed, is only used for non-PNG formats).
+raise ValueError; the decode path has no NotImplementedError tier left
+(the legacy decode_gray wrapper still signals non-grayscale input with
+NotImplementedError per its original contract — use decode_pixels).
 
 This closes the round-3 gap 'real media decoding evidence': the
 real-decode contract (tests/test_multimodal_real.py) EXECUTES in a
@@ -229,6 +230,13 @@ def encode_pixels(
     Adam7 pass order. depth=1/2/4 bit-packs a 2-D array of RAW sample
     values (< 2^depth) as low-depth grayscale (non-interlaced only)."""
     img = np.asarray(img)
+    if depth is not None and depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal PNG bit depth {depth}")
+    if depth in (8, 16) and depth != (16 if img.dtype == np.uint16 else 8):
+        raise ValueError(
+            f"depth={depth} contradicts input dtype {img.dtype} "
+            "(depth is inferred from dtype for 8/16-bit — omit it)"
+        )
     if depth in (1, 2, 4):
         if img.ndim != 2 or int(img.max(initial=0)) >= (1 << depth):
             raise ValueError(f"depth={depth} needs 2-D samples < {1 << depth}")

@@ -341,17 +341,19 @@ def lm_score(
     documents with fewer than two words.
 
     Scale shape: bigram extraction is pure codegen (slice + zip_with on
-    the word array, no explode of raw text twice); the (doc, bigram)
-    stream crosses one exchange keyed on the bigram for the count join,
-    context counts fold from the ALREADY-aggregated bigram table
-    (vocab-sized, not corpus-sized), V rides a 1-row broadcast, and the
-    per-doc rollup is the only other shuffle. A swap to a pre-trained
-    LM is the same plan with the count tables read instead of built.
+    the word array into a (u, v) STRUCT — a typed key, so words are
+    never string-concatenated and no delimiter can collide); the
+    (doc, bigram) occurrence stream crosses one exchange keyed on the
+    bigram, the count and context tables are both bigram-type-scale
+    (cbg enriched with its context sum BEFORE rejoining the occurrence
+    stream — the corpus-scale rows never reshuffle on the context
+    word), V rides a 1-row broadcast, and the per-doc rollup is the
+    only other shuffle. A swap to a pre-trained LM is the same plan
+    with the count tables read instead of built.
     """
     staged = ensure_parallelism(df).select(
         F.col(id_col), words(text_col).alias("_w")
     )
-    sep = F.lit("\x1f")
     bg = staged.select(
         F.col(id_col),
         F.explode(
@@ -360,17 +362,20 @@ def lm_score(
                 F.zip_with(
                     F.slice("_w", 1, F.size("_w") - 1),
                     F.slice("_w", 2, F.size("_w") - 1),
-                    lambda u, v: F.concat(u, sep, v),
+                    lambda u, v: F.struct(u.alias("u"), v.alias("v")),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<struct<u: string, v: string>>"))
         ).alias("_bg"),
     ).repartition("_bg")
     cbg = bg.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c"))
     ctx = (
-        cbg.select(F.substring_index("_bg", "\x1f", 1).alias("_u"), "_c")
+        cbg.select(F.col("_bg.u").alias("_u"), "_c")
         .groupBy("_u")
         .agg(F.sum("_c").alias("_cu"))
     )
+    # enrich the bigram-type-scale table first so the corpus-scale
+    # occurrence stream joins exactly once, on its existing _bg keying
+    cbg = cbg.withColumn("_u", F.col("_bg.u")).join(ctx, "_u").drop("_u")
     vocab = staged.select(F.explode("_w").alias("_word")).agg(
         F.count_distinct("_word").alias("_v")
     )
@@ -379,8 +384,6 @@ def lm_score(
     )
     per_doc = (
         bg.join(cbg, "_bg")
-        .withColumn("_u", F.substring_index("_bg", "\x1f", 1))
-        .join(ctx, "_u")
         .join(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

@@ -199,9 +199,10 @@ def pack_best_fit(
     instruction/SFT data, where a truncated example is a corrupted one
     (pack_sequences is the pretraining concat-then-chunk twin).
 
-    Per group: first-fit-decreasing — docs sorted by length descending,
-    each placed in the first bin with room, new bin otherwise; bins pad
-    to seq_len with pad_token. Output: (group, bin_id, tokens, n_tok,
+    Per group: best-fit-decreasing — docs sorted by length descending,
+    each placed in the feasible bin with the LEAST remaining room
+    (tightest fit), new bin when none fits; bins pad to seq_len with
+    pad_token. Output: (group, bin_id, tokens, n_tok,
     n_pad, doc_spans) where n_tok counts real tokens, and doc_spans
     carries (doc_id, start, len) per resident doc for the attention
     mask. Deterministic: ties broken by doc id.
@@ -242,16 +243,17 @@ def pack_best_fit(
                 arr = arr[:seq_len]
             if len(arr):
                 docs.append((i, arr))
-        # first-fit-decreasing, ties by id for determinism
-        docs.sort(key=lambda d: (-len(d[1]), d[0]))
+        # best-fit-decreasing, ties by id for determinism (null ids
+        # sort as empty — a data quirk must not crash the job)
+        docs.sort(key=lambda d: (-len(d[1]), "" if d[0] is None else str(d[0])))
         bins: list[list[tuple]] = []
         room: list[int] = []
         for i, arr in docs:
-            for b, r in enumerate(room):
-                if len(arr) <= r:
-                    bins[b].append((i, arr))
-                    room[b] -= len(arr)
-                    break
+            fits = [b for b, r in enumerate(room) if len(arr) <= r]
+            if fits:
+                b = min(fits, key=lambda b: room[b])  # tightest bin
+                bins[b].append((i, arr))
+                room[b] -= len(arr)
             else:
                 bins.append([(i, arr)])
                 room.append(seq_len - len(arr))

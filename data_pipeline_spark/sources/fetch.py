@@ -83,7 +83,18 @@ def _fetch_one(
             last_err = f"HTTP {exc.code}"
             if 400 <= exc.code < 500:
                 return status, None, last_err, attempt
-        except Exception as exc:  # timeout, connection refused, DNS, TLS
+        except urllib.error.URLError as exc:
+            # urllib wraps unknown-scheme/malformed URLs in URLError
+            # with a str or ValueError reason — deterministic, no
+            # retry; network failures (OSError reasons: connection
+            # refused, DNS, timeout) stay retryable
+            if isinstance(getattr(exc, "reason", None), (str, ValueError)):
+                return 0, None, f"bad URL: {exc.reason}", attempt
+            last_err = f"URLError: {exc.reason}"
+        except ValueError as exc:
+            # malformed URL rejected before the request went out
+            return 0, None, f"bad URL: {exc}", attempt
+        except Exception as exc:  # timeout, TLS, protocol violations
             last_err = f"{type(exc).__name__}: {exc}"
         if attempt <= retries:
             # exponential backoff with deterministic per-URL jitter

@@ -139,3 +139,11 @@ def test_fetch_size_cap_and_unreachable(spark, server):
     assert big["content"] is None and "max_bytes" in big["error"]
     dead = out["http://127.0.0.1:9/nothing-listens-here"]
     assert dead["content"] is None and dead["error"] is not None
+
+
+def test_fetch_malformed_url_skips_retry_budget(spark):
+    """A garbage URL is deterministic — one attempt, no backoff sleeps."""
+    df = spark.createDataFrame([("htp://not-a-scheme/x",)], "url string")
+    row = fetch_urls(df, retries=3, backoff=5.0).collect()[0]
+    assert row["content"] is None and "bad URL" in row["error"]
+    assert row["n_attempts"] == 1  # backoff=5s x3 would be obvious

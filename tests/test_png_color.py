@@ -161,6 +161,14 @@ def test_low_depth_palette_resolves():
     assert np.array_equal(P.decode_pixels(buf), pal[idx])
 
 
+def test_encode_rejects_bad_or_contradictory_depth():
+    img8 = np.zeros((4, 4), np.uint8)
+    with pytest.raises(ValueError, match="illegal PNG bit depth"):
+        P.encode_pixels(img8, depth=3)
+    with pytest.raises(ValueError, match="contradicts"):
+        P.encode_pixels(img8, depth=16)
+
+
 def test_illegal_depth_combination_is_loud():
     # 4-bit RGB is not a legal PNG shape — metadata parses, decode raises
     ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)

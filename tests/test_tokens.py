@@ -188,6 +188,19 @@ def test_pack_best_fit_never_splits_and_pads(spark):
     assert total_pad == 3 * 8 - 18
 
 
+def test_pack_best_fit_null_doc_id_does_not_crash(spark):
+    """A null doc_id tying another doc's length must not raise inside
+    the sort (None vs str comparison) — the row packs like any other."""
+    rows = [("s", None, [1, 2]), ("s", "x", [3, 4])]
+    d = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
+    out = TK.pack_best_fit(d, seq_len=4).collect()
+    ids = sorted(
+        (s["doc_id"] for r in out for s in r["doc_spans"]),
+        key=lambda x: (x is not None, x),
+    )
+    assert ids == [None, "x"]
+
+
 def test_pack_best_fit_overflow_modes(spark):
     rows = [("s", "big", list(range(12))), ("s", "ok", [1, 2])]
     d = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
