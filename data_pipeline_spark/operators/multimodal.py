@@ -17,11 +17,13 @@ tested by tests/test_multimodal_real.py and test_multimodal_av.py);
 REAL JPEG bytes — baseline AND progressive — decode, resize, and
 re-encode via the pure-stdlib Huffman+IDCT codec
 (jpeg_codec.decode_pixels / encode_baseline / encode_progressive;
-arithmetic-coded streams are header-metadata-only); REAL GIFs
+arithmetic-coded streams are header-metadata-only); REAL compressed
+WAV audio (G.711 A-law/μ-law, IMA ADPCM) expands transparently to
+PCM16 through the same wav_codec tier; REAL GIFs
 — including animated, interlaced, transparent ones — decode, resize,
 and frame-sample via the pure-stdlib LZW codec (gif_codec); PIL takes
-over for other image formats when installed; and compressed
-audio/video (mp3/mp4 — needs librosa/ffmpeg) stays behind the
+over for other image formats when installed; and perceptual-codec
+audio/video (mp3/aac/h264 — needs librosa/ffmpeg) stays behind the
 disclosed NotImplementedError boundary.
 
 Metadata contract across modalities (one fixed, prunable schema):
