@@ -279,7 +279,9 @@ def _frame_payloads(buf: bytes, fns: list[int]) -> list[bytes]:
     if y4m_codec.is_y4m(buf):
         return [y4m_codec.get_frame(buf, i) for i in fns]
     if wav_codec.is_wav(buf):
-        return [wav_codec.frame_bytes(buf, i) for i in fns]
+        # one decode for the whole index list (ADPCM per-frame access
+        # would re-run the block decoder per sampled frame)
+        return wav_codec.frames_pcm16(buf, fns)
     if gif_codec.is_gif(buf):
         return gif_codec.frames_at(buf, fns)
     return [buf for _ in fns]

@@ -190,6 +190,15 @@ def _parse_fmt(buf: bytes) -> tuple[int, int, int, int, int, int, int]:
                 (spb,) = struct.unpack("<H", buf[off + 18 : off + 20])
                 if spb == 0:
                     raise ValueError("corrupt WAV: ADPCM samples_per_block=0")
+                # spec relation: a block holds ch 4-byte headers (each
+                # carrying sample 0) + nibble words for spb-1 samples.
+                # A header claiming more caps memory amplification from
+                # hostile/corrupt files before any allocation happens.
+                if block < 4 * ch or spb > (block - 4 * ch) * 2 + 1:
+                    raise ValueError(
+                        f"corrupt WAV: ADPCM samples_per_block={spb} "
+                        f"exceeds block_align={block} capacity"
+                    )
             fmt = (tag, ch, rate, bits, block, spb)
         elif cid == b"data":
             data_len = length
@@ -198,15 +207,40 @@ def _parse_fmt(buf: bytes) -> tuple[int, int, int, int, int, int, int]:
     return (*fmt, data_len)
 
 
+def _fact_samples(buf: bytes) -> int | None:
+    """The fact chunk's per-channel sample count, when present —
+    compressed formats record the true length there (a final ADPCM
+    block is often short)."""
+    for cid, off, length in _chunks(buf):
+        if cid == b"fact" and length >= 4:
+            (n,) = struct.unpack("<I", buf[off : off + 4])
+            return n
+    return None
+
+
+def _ima_capacity(avail: int, ch: int, spb: int) -> int:
+    """Frames decodable from one ADPCM block given `avail` bytes: the
+    header carries frame 0, each 4-byte-per-channel word 8 more."""
+    if avail < 4 * ch:
+        return 0
+    return min(spb, 1 + (avail - 4 * ch) // (4 * ch) * 8)
+
+
 def parse_header(buf: bytes) -> tuple[int, int, int, int]:
     """(n_channels, sample_rate, bits_per_sample, n_frames).
 
     One frame = one sample per channel (`wave` module terminology):
-    data bytes // block_align for PCM and G.711; for IMA ADPCM, whole
-    blocks × the fmt extension's samples-per-block."""
+    data bytes // block_align for PCM and G.711; for IMA ADPCM, block
+    capacity including a short final block, clamped by the fact
+    chunk's true sample count when present."""
     tag, ch, rate, bits, block, spb, data_len = _parse_fmt(buf)
     if tag == IMA_ADPCM:
-        return ch, rate, bits, (data_len // block) * spb
+        full, rem = divmod(data_len, block)
+        frames = full * spb + _ima_capacity(rem, ch, spb)
+        fact = _fact_samples(buf)
+        if fact is not None:
+            frames = min(frames, fact)
+        return ch, rate, bits, frames
     return ch, rate, bits, data_len // block
 
 
@@ -217,60 +251,95 @@ def _data_span(buf: bytes) -> tuple[int, int]:
     raise ValueError("corrupt WAV: missing data chunk")
 
 
+def _pcm16_bytes(samples: list[int]) -> bytes:
+    a = array("h", samples)
+    if sys.byteorder == "big":
+        a.byteswap()
+    return a.tobytes()
+
+
 def frame_bytes(buf: bytes, i: int) -> bytes:
-    """Raw bytes of frame i (all channels) — frame_sample's per-frame
-    payload; O(1) slicing for byte-addressable formats (PCM and G.711:
-    whole bytes per sample). ADPCM frames live mid-nibble inside a
-    predictive block, so they decode via decode_pcm16 instead."""
-    tag, ch, _rate, bits, block, _spb, _dl = _parse_fmt(buf)
-    _ch, _r, _b, n = parse_header(buf)
+    """Bytes of frame i (all channels) — frame_sample's per-frame
+    payload. PCM frames are O(1) raw slices; compressed formats (G.711,
+    ADPCM) come back EXPANDED to PCM16 so frame payloads are uniform
+    little-endian int16 regardless of the container's encoding. For
+    many frames of one ADPCM payload use frames_pcm16 — this per-frame
+    form decodes the file each call."""
+    tag, ch, _rate, bits, block, spb, data_len = _parse_fmt(buf)
+    if tag == IMA_ADPCM:
+        full, rem = divmod(data_len, block)
+        n = full * spb + _ima_capacity(rem, ch, spb)
+    else:
+        n = data_len // block
     if not 0 <= i < n:
         raise IndexError(f"frame {i} out of range (n_frames={n})")
     off, _length = _data_span(buf)
     if tag == IMA_ADPCM:
-        rate, samples = decode_pcm16(buf)
-        a = array("h", samples[i * ch : (i + 1) * ch])
-        if sys.byteorder == "big":
-            a.byteswap()
-        return a.tobytes()
-    fsize = block if tag in (ALAW, ULAW) else ch * bits // 8
+        _r, samples = decode_pcm16(buf)
+        return _pcm16_bytes(samples[i * ch : (i + 1) * ch])
+    if tag in (ALAW, ULAW):
+        expand = alaw2lin if tag == ALAW else ulaw2lin
+        raw = buf[off + i * ch : off + (i + 1) * ch]
+        return _pcm16_bytes([expand(b) for b in raw])
+    fsize = ch * bits // 8
     return buf[off + i * fsize : off + (i + 1) * fsize]
 
 
+def frames_pcm16(buf: bytes, indices: list[int]) -> list[bytes]:
+    """frame_bytes for several indices with at most ONE full decode —
+    the frame_sample batch path (per-index frame_bytes on ADPCM would
+    re-run the block decoder per sampled frame: quadratic in clip
+    length)."""
+    tag, ch, _rate, _bits, _block, _spb, _dl = _parse_fmt(buf)
+    if tag != IMA_ADPCM:
+        return [frame_bytes(buf, i) for i in indices]  # O(1) each
+    _r, samples = decode_pcm16(buf)
+    n = len(samples) // ch
+    out = []
+    for i in indices:
+        if not 0 <= i < n:
+            raise IndexError(f"frame {i} out of range (n_frames={n})")
+        out.append(_pcm16_bytes(samples[i * ch : (i + 1) * ch]))
+    return out
+
+
 def _decode_ima(buf: bytes) -> tuple[int, list[int]]:
-    tag, ch, rate, _bits, block, spb, data_len = _parse_fmt(buf)
+    _tag, ch, rate, _bits, block, spb, data_len = _parse_fmt(buf)
     off, length = _data_span(buf)
+    end = off + min(length, data_len, len(buf) - off)
     out: list[int] = []
-    n_blocks = min(length, data_len) // block
-    for b in range(n_blocks):
-        p = off + b * block
+    p = off
+    while p + 4 * ch <= end:
+        avail = min(block, end - p)
+        n_samp = _ima_capacity(avail, ch, spb)  # short final block OK
+        q = p
         preds, idxs = [], []
         chans: list[list[int]] = []
         for c in range(ch):
-            pred, idx = struct.unpack("<hB", buf[p + 4 * c : p + 4 * c + 3])
+            pred, idx = struct.unpack("<hB", buf[q + 4 * c : q + 4 * c + 3])
             preds.append(pred)
             idxs.append(max(0, min(88, idx)))
             chans.append([pred])  # header predictor IS sample 0
-        p += 4 * ch
+        q += 4 * ch
         # after the header: per channel, 4 bytes = 8 nibbles (low first)
-        per_chunk = 4 * ch
-        remaining = spb - 1
-        done = 0
-        while done < remaining:
+        while len(chans[0]) < n_samp and q + 4 * ch <= end:
             for c in range(ch):
                 for k in range(4):
-                    byte = buf[p + c * 4 + k]
+                    byte = buf[q + c * 4 + k]
                     for nib in (byte & 0x0F, byte >> 4):
-                        if len(chans[c]) - 1 < remaining:
+                        if len(chans[c]) < n_samp:
                             preds[c], idxs[c] = _ima_step_decode(
                                 nib, preds[c], idxs[c]
                             )
                             chans[c].append(preds[c])
-            p += per_chunk
-            done += 8
-        for f in range(spb):
+            q += 4 * ch
+        for f in range(len(chans[0])):
             for c in range(ch):
                 out.append(chans[c][f])
+        p += block
+    fact = _fact_samples(buf)
+    if fact is not None:
+        out = out[: fact * ch]
     return rate, out
 
 
@@ -299,28 +368,26 @@ def decode_pcm16(buf: bytes) -> tuple[int, list[int]]:
 
 def encode_pcm16(samples: list[int], sample_rate: int, n_channels: int = 1) -> bytes:
     """Canonical PCM16 WAV from interleaved samples."""
-    a = array("h", samples)
-    if sys.byteorder == "big":
-        a.byteswap()
-    data = a.tobytes()
     block = n_channels * 2
-    fmt = struct.pack(
-        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, 16
-    )
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    body += b"data" + struct.pack("<I", len(data)) + data
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _riff(1, n_channels, sample_rate, 16, block, _pcm16_bytes(samples))
 
 
 def _riff(fmt_tag: int, ch: int, rate: int, bits: int, block: int,
-          data: bytes, ext: bytes = b"") -> bytes:
+          data: bytes, ext: bytes = b"", fact_samples: int | None = None) -> bytes:
+    # non-PCM fmt chunks must carry cbSize (spec: chunk size >= 18)
+    if fmt_tag != 1 and not ext:
+        ext = struct.pack("<H", 0)
     fmt = struct.pack(
         "<HHIIHH", fmt_tag, ch, rate, rate * block, block, bits
     ) + ext
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if len(fmt) & 1:
         body += b"\x00"
+    if fact_samples is not None:
+        body += b"fact" + struct.pack("<II", 4, fact_samples)
     body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # RIFF chunks pad to word boundaries
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -330,10 +397,13 @@ def encode_g711(
     """Interleaved PCM16 → G.711 companded WAV (tag 7 μ-law / 6 A-law)."""
     if law not in ("ulaw", "alaw"):
         raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    if len(samples) % n_channels:
+        raise ValueError("sample count not divisible by channel count")
     comp = lin2ulaw if law == "ulaw" else lin2alaw
     data = bytes(comp(s) for s in samples)
     tag = ULAW if law == "ulaw" else ALAW
-    return _riff(tag, n_channels, sample_rate, 8, n_channels, data)
+    return _riff(tag, n_channels, sample_rate, 8, n_channels, data,
+                 fact_samples=len(samples) // n_channels)
 
 
 def encode_ima(
@@ -377,7 +447,10 @@ def encode_ima(
                     out.append(chunk[k] | (chunk[k + 1] << 4))
             pos += 8
     ext = struct.pack("<HH", 2, spb)  # cbSize=2, samplesPerBlock
-    return _riff(IMA_ADPCM, ch, sample_rate, 4, block, bytes(out), ext)
+    # fact records the TRUE pre-padding length, so decode returns
+    # exactly the encoded samples (the spec's mechanism for short tails)
+    return _riff(IMA_ADPCM, ch, sample_rate, 4, block, bytes(out), ext,
+                 fact_samples=len(samples) // ch)
 
 
 def resample_nearest(buf: bytes, new_rate: int) -> bytes:

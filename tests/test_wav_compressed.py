@@ -74,25 +74,52 @@ def test_g711_wav_roundtrip_and_metadata(law):
     rate, dec = W.decode_pcm16(buf)
     assert rate == 8000 and len(dec) == len(sig)
     assert _snr(sig, dec) > 30.0  # G.711 ≈ 35-38 dB on speech-band signals
-    # frame_bytes stays O(1) byte-addressable for companded formats
-    assert W.frame_bytes(buf, 7) == bytes([W.lin2ulaw(sig[7]) if law == "ulaw"
-                                           else W.lin2alaw(sig[7])])
+    # frame payloads come back expanded to PCM16 — uniform across
+    # compressed containers, never raw companded code bytes
+    assert np.frombuffer(W.frame_bytes(buf, 7), "<i2").tolist() == [dec[7]]
 
 
 def test_ima_adpcm_roundtrip_mono_and_stereo():
     sig = _sig()
     buf = W.encode_ima(sig, 16000, 1, samples_per_block=505)
     ch, rate, bits, n = W.parse_header(buf)
-    assert (ch, rate, bits) == (1, 16000, 4) and n >= len(sig)
+    # the fact chunk records the true pre-padding length
+    assert (ch, rate, bits, n) == (1, 16000, 4, len(sig))
     _r, dec = W.decode_pcm16(buf)
-    assert _snr(sig, dec[: len(sig)]) > 20.0  # 4-bit ADPCM ≈ 25 dB
+    assert len(dec) == len(sig)
+    assert _snr(sig, dec) > 20.0  # 4-bit ADPCM ≈ 25 dB
     stereo = [v for s in sig for v in (s, -s // 2)]
     buf = W.encode_ima(stereo, 16000, 2, samples_per_block=505)
     _r, dec = W.decode_pcm16(buf)
-    assert _snr(stereo, dec[: len(stereo)]) > 20.0
-    # frame_bytes on ADPCM decodes through the block (not a raw slice)
+    assert len(dec) == len(stereo)
+    assert _snr(stereo, dec) > 20.0
+    # frame_bytes on ADPCM decodes through the block (not a raw slice),
+    # and the batch path returns identical payloads with one decode
     frame = np.frombuffer(W.frame_bytes(buf, 3), "<i2").tolist()
     assert frame == dec[6:8]
+    batch = W.frames_pcm16(buf, [0, 3, 100])
+    assert batch == [W.frame_bytes(buf, i) for i in (0, 3, 100)]
+
+
+def test_ima_adpcm_hostile_and_truncated_inputs():
+    """A header whose samples-per-block exceeds block capacity must be
+    rejected BEFORE allocation (memory-amplification guard); a
+    truncated payload decodes gracefully to fewer samples, never an
+    IndexError."""
+    import struct as st
+
+    sig = _sig(600)
+    good = W.encode_ima(sig, 8000, 1, samples_per_block=505)
+    # corrupt the samplesPerBlock extension field to a huge value
+    pos = good.index(b"fmt ") + 8 + 18
+    bad = good[:pos] + st.pack("<H", 65529) + good[pos + 2 :]
+    with pytest.raises(ValueError, match="exceeds block_align"):
+        W.parse_header(bad)
+    # truncation: decode returns a prefix, same values as the full file
+    _r, full = W.decode_pcm16(good)
+    _r, part = W.decode_pcm16(good[:-220])  # cuts into block 2's words
+    assert 0 < len(part) < len(full)
+    assert part == full[: len(part)]
 
 
 def test_ima_spb1_is_losslessly_degenerate():
